@@ -1,0 +1,459 @@
+"""Deterministic synthetic corpus generator.
+
+Produces the BASELINE-mandated pages table
+``(url:string, warc_ts:timestamp, html:binary, text:string, lang:string)``
+— one row per document — entirely from a fixed seed, no external data.
+
+Three document families (selected by a per-doc hash):
+
+* ``synth://folha/...``  — Engine-1 payload: ``text`` holds ``\\f``-joined
+  page texts in the line-oriented "Recibo Modelo 1" grammar
+  (reference grammar: ``pdf_processor_core.py:428-643``).
+* ``synth://ficha/...``  — Engine-2 payload: ``html`` holds the per-page
+  word-box node arrays in the "Ficha Financeira" layout grammar
+  (reference grammar: ``processors/ficha_financeira_processor.py:387-852``),
+  ``text`` holds minimal page texts (page 1 carries the Nome/Matr line
+  used for person-name extraction, reference ``:854-912``).
+* ``synth://noise/...``  — negative controls (English pages, no codes).
+
+Every reference edge case is planted deterministically: sum pairs,
+índice-zero fallbacks, HH:MM hour tokens, missing-date pages, IGNORAR
+pages, prefix-boundary traps (``9521`` vs ``952``), NBSP/U+2011 code
+text, cross-page block carry, expired carry, value conflicts
+(last-write-wins), ``*Totais*`` slot consumption, and a long-tail page
+count distribution for skew tests.
+
+Generation is a pure function of ``(seed, doc_id)`` so it distributes:
+``corpus_df`` builds the table with ``spark.range(n) → mapInPandas`` —
+embarrassingly parallel, no driver-side materialization, which is the
+same shape a 100 TB backfill generator would take.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import hashlib
+import random
+from typing import Iterator
+
+from .payload import Word, encode_layout
+
+BASE_TS = _dt.datetime(2025, 7, 14, 19, 3, 42)
+
+MONTH_FULL = [
+    "janeiro", "fevereiro", "março", "abril", "maio", "junho",
+    "julho", "agosto", "setembro", "outubro", "novembro", "dezembro",
+]
+# layout grammar writes month names without diacritics (as in the fixture PDF)
+MONTH_PLAIN = [
+    "Janeiro", "Fevereiro", "Marco", "Abril", "Maio", "Junho",
+    "Julho", "Agosto", "Setembro", "Outubro", "Novembro", "Dezembro",
+]
+
+NAMES = [
+    "JOAO DA SILVA", "MARIA OLIVEIRA SANTOS", "ANGELA CRISTINA LIRA",
+    "CARLOS EDUARDO PEREIRA", "ANA PAULA FERREIRA", "JOSE ROBERTO ALMEIDA",
+    "FERNANDA COSTA RIBEIRO", "PAULO HENRIQUE GOMES",
+]
+
+PAGE_H = 842.0
+COMP_CENTERS = [150.0 + 105.0 * i for i in range(4)]
+VALOR_CENTERS = [200.0 + 105.0 * i for i in range(4)]
+TOTAIS_CENTER = 620.0
+
+
+def _h(seed: int, doc_id: int, tag: str = "") -> int:
+    b = hashlib.sha256(f"{seed}:{doc_id}:{tag}".encode()).digest()
+    return int.from_bytes(b[:8], "big")
+
+
+def fmt_br(value: float) -> str:
+    """Format a 2-dp float Brazilian style: 1234.5 → '1.234,50'."""
+    s = f"{value:,.2f}"
+    return s.replace(",", "\x00").replace(".", ",").replace("\x00", ".")
+
+
+def _months_seq(start_year: int, start_month: int, n: int) -> list[tuple[int, int]]:
+    out, y, m = [], start_year, start_month
+    for _ in range(n):
+        out.append((y, m))
+        m += 1
+        if m > 12:
+            m, y = 1, y + 1
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Engine-1 (line/regex) documents
+# ---------------------------------------------------------------------------
+
+def _e1_value(rng: random.Random, lo: float = 10.0, hi: float = 9000.0) -> float:
+    return round(rng.uniform(lo, hi), 2)
+
+
+def _e1_page(rng: random.Random, name: str, year: int, month: int,
+             variant: int) -> str:
+    """One FOLHA NORMAL page. ``variant`` selects which edge cases appear."""
+    lines = [
+        "EMPRESA EXEMPLO LTDA - RECIBO DE PAGAMENTO",
+        f"Nome: {name}",
+    ]
+    if variant % 11 != 3:  # a few pages rely on header-fallback classification
+        lines.append("Tipo da folha: FOLHA NORMAL")
+    lines.append(f"Referência: {MONTH_FULL[month - 1]}/{year}")
+    lines.append("Cod      Descricao                    Indice    Valor")
+
+    # salario contrib INSS (column B, source=valor) — always present
+    lines.append(f"F 09090301 SALARIO CONTRIB INSS {fmt_br(_e1_value(rng, 1500, 8000))}")
+
+    # PREMIO PROD (column X, indice with fallback_to_valor)
+    if variant % 3 == 0:
+        # sum pair: 01003601 + 01003602 in the same period → SUM + attention
+        lines.append(f"P 01003601 PREMIO PROD. MENSAL {fmt_br(_e1_value(rng, 1, 9))} {fmt_br(_e1_value(rng))}")
+        lines.append(f"P 01003602 PREMIO PROD. MENSAL {fmt_br(_e1_value(rng, 1, 9))} {fmt_br(_e1_value(rng))}")
+    elif variant % 3 == 1:
+        # índice zero → fallback to valor
+        lines.append(f"P 01003601 PREMIO PROD. MENSAL 0,00 {fmt_br(_e1_value(rng))}")
+    else:
+        lines.append(f"P 01017101 PREMIO PRO. (R) {fmt_br(_e1_value(rng, 1, 9))} {fmt_br(_e1_value(rng))}")
+
+    # HORAS EXT 100% (column Y) — HH:MM índice form on some pages
+    if variant % 4 == 0:
+        hh, mm = rng.randint(1, 12), rng.randint(0, 59)
+        lines.append(f"P 01007301 HORAS EXT.100%-180 {hh:02d}:{mm:02d} {fmt_br(_e1_value(rng))}")
+    elif variant % 4 == 1:
+        # sum pair Y
+        lines.append(f"P 01007301 HORAS EXT.100%-180 {fmt_br(_e1_value(rng, 1, 80))} {fmt_br(_e1_value(rng))}")
+        lines.append(f"P 01007302 HORAS EXT.100%-180 {fmt_br(_e1_value(rng, 1, 80))} {fmt_br(_e1_value(rng))}")
+    elif variant % 4 == 2:
+        lines.append(f"P 01007301 HORAS EXT.100%-180 {fmt_br(_e1_value(rng, 1, 80))} {fmt_br(_e1_value(rng))}")
+
+    # ADIC NOTURNO (column AE): two distinct codes → last line wins
+    if variant % 5 == 0:
+        lines.append(f"P 01009001 ADIC.NOT.25%-180 {fmt_br(_e1_value(rng, 1, 40))} {fmt_br(_e1_value(rng))}")
+        lines.append(f"P 01022001 ADICIONAL NOTURNO 25% (R) {fmt_br(_e1_value(rng, 1, 40))} {fmt_br(_e1_value(rng))}")
+    elif variant % 5 == 1:
+        # same code twice → description-duplicate attention (no sum)
+        lines.append(f"P 01009001 ADIC.NOT.25%-180 {fmt_br(_e1_value(rng, 1, 40))} {fmt_br(_e1_value(rng))}")
+        lines.append(f"P 01009001 ADIC.NOT.25%-180 {fmt_br(_e1_value(rng, 1, 40))} {fmt_br(_e1_value(rng))}")
+
+    # HORAS EXT 75% (column AA)
+    if variant % 2 == 0:
+        lines.append(f"P 01003501 HORAS EXT.75%-180 {fmt_br(_e1_value(rng, 1, 60))} {fmt_br(_e1_value(rng))}")
+
+    lines.append(f"Liquido a receber ==> {fmt_br(_e1_value(rng, 1000, 9000))}")
+    return "\n".join(lines)
+
+
+def _e1_page_13sal(rng: random.Random, name: str, year: int, variant: int) -> str:
+    lines = [
+        "EMPRESA EXEMPLO LTDA - RECIBO DE PAGAMENTO",
+        f"Nome: {name}",
+        "Tipo da folha: 13 SALARIO",
+        f"Referência: dezembro/{year}",
+    ]
+    v301 = fmt_br(_e1_value(rng, 1500, 8000))
+    v101 = fmt_br(_e1_value(rng, 1500, 8000))
+    if variant % 3 == 0:       # only the preferred code
+        lines.append(f"F 09090301 SALARIO CONTRIB INSS {v301}")
+    elif variant % 3 == 1:     # only the fallback code
+        lines.append(f"F 09090101 REMUNERACAO BRUTA {v101}")
+    else:                      # both; preferred (09090301) wins
+        lines.append(f"F 09090101 REMUNERACAO BRUTA {v101}")
+        lines.append(f"F 09090301 SALARIO CONTRIB INSS {v301}")
+    return "\n".join(lines)
+
+
+def _e1_page_ignorar(name: str, year: int, month: int, kind: int) -> str:
+    label = ["FÉRIAS", "ADIANTAMENTO", "RESCISÃO"][kind % 3]
+    return "\n".join([
+        "EMPRESA EXEMPLO LTDA",
+        f"Nome: {name}",
+        f"Tipo da folha: {label}",
+        f"Referência: {MONTH_FULL[month - 1]}/{year}",
+        "P 01003601 PREMIO PROD. MENSAL 5,00 500,00",
+    ])
+
+
+def _e1_page_nodate(name: str) -> str:
+    # no Referência and no `word/NNNN` token anywhere → silently skipped
+    # (decode-failure metric, reference pdf_processor_core.py:904-906)
+    return "\n".join([
+        "EMPRESA EXEMPLO LTDA",
+        f"Nome: {name}",
+        "Tipo da folha: FOLHA NORMAL",
+        "Pagina de continuacao sem data de referencia",
+        "P 01003601 PREMIO PROD. MENSAL 5,00 500,00",
+    ])
+
+
+def gen_e1_doc(seed: int, doc_id: int) -> tuple[str, str]:
+    """Returns (text payload, person name) for a folha document."""
+    h = _h(seed, doc_id, "e1")
+    rng = random.Random(h)
+    name = NAMES[h % len(NAMES)]
+    n_periods = 120 if h % 97 == 0 else 8 + h % 16  # long tail for skew
+    start_y, start_m = 2020 + h % 4, 1 + h % 12
+
+    pages: list[str] = []
+    for k, (y, m) in enumerate(_months_seq(start_y, start_m, n_periods)):
+        variant = _h(seed, doc_id, f"v{k}") % 9973
+        pages.append(_e1_page(rng, name, y, m, variant))
+        if m == 12:
+            pages.append(_e1_page_13sal(rng, name, y, variant))
+        if variant % 13 == 5:
+            pages.append(_e1_page_ignorar(name, y, m, variant))
+        if variant % 17 == 7:
+            pages.append(_e1_page_nodate(name))
+    return "\f".join(pages), name
+
+
+# ---------------------------------------------------------------------------
+# Engine-2 (layout/word-box) documents
+# ---------------------------------------------------------------------------
+
+def _word(text: str, x_center: float, top: float, page_idx: int,
+          half_w: float = 15.0) -> Word:
+    bottom = top + 6.0
+    return (text, x_center - half_w, x_center + half_w, top, bottom,
+            page_idx * PAGE_H + top)
+
+
+def _code_word(text: str, x0: float, top: float, page_idx: int) -> Word:
+    x1 = x0 + 4.8 * len(text)
+    bottom = top + 6.0
+    return (text, x0, x1, top, bottom, page_idx * PAGE_H + top)
+
+
+class _PageBuilder:
+    def __init__(self) -> None:
+        self.pages: list[list[Word]] = []
+        self.y = PAGE_H  # force new page on first use
+
+    def new_page(self, with_headers: bool) -> None:
+        self.pages.append([])
+        self.y = 40.0
+        if with_headers:
+            pi = len(self.pages) - 1
+            for c in COMP_CENTERS:
+                self.pages[-1].append(_word("Comp.", c, 55.0, pi, half_w=12.0))
+            for c in VALOR_CENTERS + [TOTAIS_CENTER]:
+                self.pages[-1].append(_word("Valor", c, 55.0, pi, half_w=12.0))
+            self.y = 70.0
+
+    @property
+    def page_idx(self) -> int:
+        return len(self.pages) - 1
+
+    def add(self, words: list[Word]) -> None:
+        self.pages[-1].extend(words)
+
+
+def _block_header(pb: _PageBuilder, year: int, q: int, with_totais: bool) -> None:
+    pi = pb.page_idx
+    y = pb.y
+    row = [_word(str(year), 115.0, y, pi, half_w=10.0)]
+    for i in range(4):
+        mname = MONTH_PLAIN[q * 4 + i]
+        center = (COMP_CENTERS[i] + VALOR_CENTERS[i]) / 2.0
+        row.append(_word(mname, center, y, pi, half_w=20.0))
+    if with_totais:
+        row.append(_word("*Totais*", TOTAIS_CENTER, y, pi, half_w=18.0))
+    pb.add(row)
+    pb.y = y + 16.0
+
+
+def _code_row(pb: _PageBuilder, code_text: str, cat: str, comp_vals: list[str | None],
+              valor_vals: list[str | None], totais_val: str | None = None) -> None:
+    pi = pb.page_idx
+    y = pb.y
+    row = [_code_word(code_text, 25.0, y, pi), _word(cat, 100.0, y, pi, half_w=3.0)]
+    for i, v in enumerate(comp_vals):
+        if v is not None:
+            row.append(_word(v, COMP_CENTERS[i], y, pi))
+    for i, v in enumerate(valor_vals):
+        if v is not None:
+            row.append(_word(v, VALOR_CENTERS[i], y, pi))
+    if totais_val is not None:
+        row.append(_word(totais_val, TOTAIS_CENTER, y, pi))
+    pb.add(row)
+    pb.y = y + 18.0
+
+
+def _e2_value(rng: random.Random, lo: float, hi: float) -> str:
+    return fmt_br(round(rng.uniform(lo, hi), 2))
+
+
+def gen_e2_doc(seed: int, doc_id: int) -> tuple[bytes, str, str]:
+    """Returns (html payload, text payload, person name) for a ficha doc."""
+    h = _h(seed, doc_id, "e2")
+    rng = random.Random(h)
+    name = NAMES[h % len(NAMES)]
+    n_years = 12 if h % 101 == 0 else 1 + h % 3   # long tail for skew
+    start_year = 2019 + h % 3
+    carry_doc = h % 5 == 0
+    conflict_doc = h % 7 == 0
+    expired_doc = h % 11 == 0
+
+    # which codes this person has
+    has_14 = h % 3 == 0
+    use_205_alias = h % 4 == 0
+    has_ferias = h % 2 == 0
+    nbsp_952 = h % 6 == 0
+
+    pb = _PageBuilder()
+    pb.new_page(with_headers=True)
+
+    def emit_block_rows(year: int, q: int) -> None:
+        months_idx = list(range(4))
+        salario_comp = [_e2_value(rng, 100, 220) for _ in months_idx]     # horas trab
+        salario_valor = [_e2_value(rng, 1200, 4000) for _ in months_idx]
+        insal_code = "205-Insalubridade-ACS" if use_205_alias else "8-Insalubridade"
+        _code_row(pb, "1-Salario", "P",
+                  salario_comp, salario_valor, _e2_value(rng, 5000, 20000))
+        _code_row(pb, insal_code, "P",
+                  [_e2_value(rng, 10, 30) for _ in months_idx],
+                  [_e2_value(rng, 100, 700) for _ in months_idx])
+        _code_row(pb, "6-Horas50%", "P",
+                  [_e2_value(rng, 0, 40) for _ in months_idx],
+                  [_e2_value(rng, 0, 900) for _ in months_idx])
+        if has_14:
+            _code_row(pb, "14-Horas100%", "P",
+                      [_e2_value(rng, 0, 20) for _ in months_idx],
+                      [_e2_value(rng, 0, 500) for _ in months_idx])
+        # 952 with sparse months + optional NBSP/U+2011 text form
+        code_952 = "952‑Falta\xa0Injustifica" if nbsp_952 else "952-FaltaInjustifica"
+        sparse = [(_e2_value(rng, 1, 30) if rng.random() < 0.4 else None)
+                  for _ in months_idx]
+        _code_row(pb, code_952, "D", sparse,
+                  [(_e2_value(rng, 10, 300) if s is not None else None)
+                   for i, s in enumerate(sparse)])
+        # prefix-boundary trap: 9521 must NOT be captured as 952
+        _code_row(pb, "9521-Falso", "D",
+                  [_e2_value(rng, 1, 9) for _ in months_idx],
+                  [None] * 4)
+        if has_ferias and q == 1:
+            fcode = ["167-Ferias", "168-Ferias", "173-Ferias", "174-Ferias"][h % 4]
+            _code_row(pb, fcode, "P", [None] * 4,
+                      [_e2_value(rng, 500, 2500), None, None, None])
+            # 527-INSS row feeds the vacation adjustment (Comp + Valor columns)
+            _code_row(pb, "527-INSS", "F",
+                      [fmt_br(round(rng.uniform(1000, 4000), 2)), None, None, None],
+                      [fmt_br(round(rng.uniform(100, 400), 2)), None, None, None])
+        _code_row(pb, "3123-Base", "F", [None] * 4,
+                  [_e2_value(rng, 1500, 5000) for _ in months_idx])
+        pb.y += 14.0
+
+    blocks = [(start_year + yy, q) for yy in range(n_years) for q in range(3)]
+    for bi, (year, q) in enumerate(blocks):
+        block_h = 16.0 + 18.0 * 9 + 14.0
+        if carry_doc and bi % 3 == 2:
+            # header at the bottom of this page, rows on the next page
+            # (exercises center carry-forward G2 + block carry G5)
+            pb.y = PAGE_H - 20.0
+            _block_header(pb, year, q, with_totais=(q == 2))
+            pb.new_page(with_headers=False)
+            emit_block_rows(year, q)
+        else:
+            if pb.y + block_h > PAGE_H - 30.0:
+                pb.new_page(with_headers=True)
+            _block_header(pb, year, q, with_totais=(q == 2))
+            emit_block_rows(year, q)
+
+    if expired_doc:
+        # header whose rows never arrive: carried MAX_BLOCK_CARRY pages, then
+        # dropped with a warning (reference :508-522). Uses a year outside
+        # the doc's real range so it can't collide.
+        pb.y = PAGE_H - 20.0
+        _block_header(pb, 1999, 0, with_totais=False)
+        for _ in range(4):
+            pb.new_page(with_headers=False)
+            pb.add([_word("continuacao", 300.0, 30.0, pb.page_idx, half_w=30.0)])
+
+    if conflict_doc:
+        # correction page: re-issues the first block with a different
+        # 1-Salario value for month 1 → last-write-wins + conflict metric
+        pb.new_page(with_headers=True)
+        _block_header(pb, start_year, 0, with_totais=False)
+        _code_row(pb, "1-Salario", "P",
+                  [_e2_value(rng, 100, 220), None, None, None],
+                  [_e2_value(rng, 1200, 4000), None, None, None])
+
+    page_texts = [
+        "Prefeitura Municipal de Exemplo\n"
+        f"Ficha Financeira - Folha Mensal\n"
+        "Nome Matr/Contr Cargo CTPS Admissao\n"
+        f"{name.title()} {1000 + doc_id}-1/1 118-Agente Comunitario",
+    ] + [f"Ficha Financeira\nPagina {i + 2}" for i in range(len(pb.pages) - 1)]
+
+    return encode_layout(PAGE_H, pb.pages), "\f".join(page_texts), name
+
+
+# ---------------------------------------------------------------------------
+# Corpus assembly
+# ---------------------------------------------------------------------------
+
+def gen_row(seed: int, doc_id: int) -> dict:
+    kind = _h(seed, doc_id, "kind") % 13
+    ts = BASE_TS + _dt.timedelta(seconds=doc_id)
+    if kind == 12:  # ~8% noise docs (negative controls)
+        return {
+            "url": f"synth://noise/{doc_id:08d}",
+            "warc_ts": ts,
+            "html": b"",
+            "text": "hello world\nthis page has no payroll content at all",
+            "lang": "en",
+        }
+    if kind % 2 == 0:
+        text, _name = gen_e1_doc(seed, doc_id)
+        return {"url": f"synth://folha/{doc_id:08d}", "warc_ts": ts,
+                "html": b"", "text": text, "lang": "pt"}
+    html, text, _name = gen_e2_doc(seed, doc_id)
+    return {"url": f"synth://ficha/{doc_id:08d}", "warc_ts": ts,
+            "html": html, "text": text, "lang": "pt"}
+
+
+PAGES_SCHEMA = ("url string, warc_ts timestamp, html binary, "
+                "text string, lang string")
+
+
+def corpus_pandas(n_docs: int, seed: int = 42, start: int = 0):
+    """Small corpora for unit tests — plain pandas DataFrame."""
+    import pandas as pd
+
+    return pd.DataFrame([gen_row(seed, i) for i in range(start, start + n_docs)])
+
+
+def corpus_df(spark, n_docs: int, seed: int = 42, partitions: int | None = None):
+    """Distributed corpus: spark.range → mapInPandas(gen_row).
+
+    Scales to arbitrary n_docs with no driver materialization; each task
+    generates its id-range independently (pure function of seed+id).
+    """
+    import pandas as pd
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            yield pd.DataFrame([gen_row(seed, int(i)) for i in batch["id"]])
+
+    rng_df = spark.range(0, n_docs, 1, partitions or max(8, n_docs // 64 or 1))
+    return rng_df.mapInPandas(gen, schema=PAGES_SCHEMA)
+
+
+def main() -> None:
+    import argparse
+
+    from .session import get_spark
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n-docs", type=int, required=True)
+    ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--out", required=True)
+    args = ap.parse_args()
+    spark = get_spark("datagen")
+    corpus_df(spark, args.n_docs, args.seed).write.mode("overwrite").parquet(args.out)
+    print(f"wrote {args.n_docs} docs to {args.out}")
+
+
+if __name__ == "__main__":
+    main()
