@@ -1,0 +1,343 @@
+"""Engine-2 layout-extraction kernel (Arrow-batched, numpy-vectorized).
+
+Re-expresses the reference's per-word Python loops
+(``processors/ficha_financeira_processor.py:387-852``: column-center
+detection G1, center carry-forward G2, month-block segmentation G3/G4,
+cross-page block carry G5, row assembly G6, nearest-center value→month
+assignment G7) as columnar numpy operations over the flattened word-box
+node array of each page.
+
+Execution shape: the pages table holds ONE ROW PER DOCUMENT, so the
+kernel runs under ``mapInPandas`` — embarrassingly parallel, zero
+shuffle. Cross-page state (G2/G5) never crosses documents, so it lives
+entirely inside the per-document call. At 100 TB the only skew risk is
+a single giant document serializing one task; the scan partitioning
+(`maxPartitionBytes`) bounds rows per task and `salt_hint` documents
+above a page threshold can be split into page-range sub-rows with a
+carry-state handoff pass (see ``pipeline.repartition_by_url``).
+
+Output is a long table ``(url, code, year, month, value, ...)`` plus one
+``__metrics__`` row per document carrying lineage counters (pages
+parsed, decode failures, conflict overwrites, expired carries, person
+name) for the audit table.
+"""
+
+from __future__ import annotations
+
+import re
+from decimal import Decimal
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
+from ..oracle_ref import e2_person_name  # shared scalar; test-parity critical
+from ..payload import decode_layout
+
+# storage-code config (reference TARGET_CODES, ficha_financeira_processor.py:53-71)
+TARGET_CODES = [
+    # (code, column, search_prefix, alias_for)
+    ("1-Salario", 1, "1-Salario", None),
+    ("6-Horas", 1, "6 -", None),
+    ("14-Horas100", 1, "14 -", None),
+    ("8-Insalubridade", 2, "8-Insalubridade", None),
+    ("205-Insalubridade-ACS", 2, "205", "8-Insalubridade"),
+    ("3123-Base", 2, "3123-Base", None),
+    ("167-Ferias", 2, "167", None),
+    ("168-Ferias", 2, "168", None),
+    ("173-Ferias", 2, "173", None),
+    ("174-Ferias", 2, "174", None),
+    ("527-INSS-Comp", 1, "527", None),
+    ("527-INSS-Valor", 2, "527", None),
+    ("952-FaltaInjustifica", 1, "952", None),
+]
+MAX_BLOCK_CARRY = 3  # reference :98
+
+NUMBER_RE = re.compile(r"^\d{1,3}(?:\.\d{3})*,\d+$|^\d+(?:,\d+)?$")
+YEAR_RE = re.compile(r"^\d{4}$")
+WS_RE = re.compile(r"\s+")
+
+MONTH_MAP = {
+    "janeiro": 1, "fevereiro": 2, "marco": 3, "março": 3, "abril": 4,
+    "maio": 5, "junho": 6, "julho": 7, "agosto": 8, "setembro": 9,
+    "outubro": 10, "novembro": 11, "dezembro": 12,
+}
+
+E2_LONG_SCHEMA = (
+    "url string, code string, year int, month int, value string, "
+    "pages int, decode_failures int, conflicts int, carry_expired int, "
+    "person string"
+)
+
+METRICS_CODE = "__metrics__"
+
+
+def _normalize_codes(texts: pd.Series) -> pd.Series:
+    """Vectorized code-text normalization (reference :630-633):
+    NFKD, NBSP→space, U+2011/U+2013→'-', strip all whitespace."""
+    s = texts.str.normalize("NFKD")
+    s = s.str.replace("\xa0", " ", regex=False)
+    s = s.str.replace("‑", "-", regex=False).str.replace("–", "-", regex=False)
+    return s.str.replace(WS_RE, "", regex=True)
+
+
+class _Page:
+    """Columnar view of one page's word boxes + precomputed masks."""
+
+    __slots__ = ("texts", "norm", "x0", "x1", "top", "bottom", "line_key",
+                 "cy", "cx", "is_num", "n")
+
+    def __init__(self, words: list) -> None:
+        n = len(words)
+        self.n = n
+        texts = pd.Series([w[0] for w in words], dtype="object")
+        self.texts = texts.to_numpy()
+        self.norm = _normalize_codes(texts).to_numpy()
+        self.x0 = np.fromiter((w[1] for w in words), float, n)
+        self.x1 = np.fromiter((w[2] for w in words), float, n)
+        self.top = np.fromiter((w[3] for w in words), float, n)
+        self.bottom = np.fromiter((w[4] for w in words), float, n)
+        doctop = np.fromiter((w[5] for w in words), float, n)
+        # reference line key: round(doctop*100) (:612-628)
+        self.line_key = np.rint(doctop * 100).astype(np.int64)
+        self.cy = (self.top + self.bottom) / 2.0
+        self.cx = (self.x0 + self.x1) / 2.0
+        self.is_num = np.fromiter(
+            (NUMBER_RE.match(t) is not None for t in self.texts), bool, n)
+
+
+def _column_centers(pg: _Page) -> tuple[list[float], list[float]]:
+    comp = [float(c) for c in pg.cx[pg.texts == "Comp."]]
+    valor = [float(c) for c in pg.cx[pg.texts == "Valor"]]
+    return comp, valor
+
+
+def _month_blocks(pg: _Page, page_h: float, comp: list[float],
+                  valor: list[float]) -> list[dict]:
+    """G3/G4: 4-digit year anchors + same-row month names → blocks."""
+    order = np.lexsort((pg.x0, pg.cy))
+    cy_r = np.round(pg.cy, 1)
+    blocks: list[dict] = []
+    for idx in order:
+        t = pg.texts[idx]
+        if not (len(t) == 4 and t.isdigit()):
+            continue
+        rc = round(float(pg.cy[idx]), 1)
+        same_row = order[np.abs(cy_r[order] - rc) < 0.2]
+        names = [pg.texts[j] for j in same_row if pg.texts[j] != t]
+        if not names:
+            continue
+        months, ci, vi = [], 0, 0
+        for name in names:
+            nl = name.strip().lower()
+            if nl == "*totais*":      # consumes a valor slot, maps no month
+                vi += 1
+                continue
+            mn = MONTH_MAP.get(nl)
+            if not mn:
+                continue
+            months.append((mn,
+                           comp[ci] if ci < len(comp) else None,
+                           valor[vi] if vi < len(valor) else None))
+            ci += 1
+            vi += 1
+        if months:
+            blocks.append(dict(year=int(t), months=months,
+                               y_start=rc, y_end=page_h))
+    blocks.sort(key=lambda b: b["y_start"])
+    for i, b in enumerate(blocks):
+        nxt = blocks[i + 1]["y_start"] if i + 1 < len(blocks) else page_h
+        b["y_end"] = nxt - 0.5
+    return blocks
+
+
+def _prefix_masks(pg: _Page) -> dict[str, np.ndarray]:
+    """Per-page candidate masks for every target prefix (vectorized)."""
+    masks: dict[str, np.ndarray] = {}
+    norm = pd.Series(pg.norm)
+    for code, _col, prefix, _alias in TARGET_CODES:
+        npfx = _norm_prefix(prefix)
+        if npfx in masks:
+            continue
+        m = norm.str.startswith(npfx).to_numpy()
+        if npfx.isdigit():
+            # numeric prefix boundary: next char must not be digit/','/'.'
+            # (reference :564-567 — '952' must not match '9521')
+            nxt = norm.str.slice(len(npfx), len(npfx) + 1)
+            bad = nxt.str.match(r"[\d.,]").fillna(False).to_numpy()
+            m = m & ~bad
+        masks[npfx] = m
+    return masks
+
+
+_PFX_CACHE: dict[str, str] = {}
+
+
+def _norm_prefix(prefix: str) -> str:
+    got = _PFX_CACHE.get(prefix)
+    if got is None:
+        import unicodedata
+
+        s = unicodedata.normalize("NFKD", prefix).replace("\xa0", " ")
+        s = s.replace("‑", "-").replace("–", "-")
+        got = WS_RE.sub("", s)
+        _PFX_CACHE[prefix] = got
+    return got
+
+
+def _extract_doc(url: str, html, text: str) -> tuple[list, list]:
+    """One document → (value rows, metrics row-values)."""
+    decode_failures = 0
+    try:
+        page_h, raw_pages = decode_layout(html)
+    except Exception:
+        page_h, raw_pages = 0.0, []
+        decode_failures += 1
+
+    values: dict[str, dict[tuple[int, int], str]] = {}
+    conflicts = 0
+    carry_expired = 0
+
+    pending: list[dict] = []      # G5 cross-page carry state
+    last_comp: list[float] = []   # G2 center carry
+    last_valor: list[float] = []
+
+    for words in raw_pages:
+        if not words:
+            continue
+        pg = _Page(words)
+        comp, valor = _column_centers(pg)
+        if comp:
+            last_comp = comp
+        else:
+            comp = last_comp
+        if valor:
+            last_valor = valor
+        else:
+            valor = last_valor
+
+        extracted = _month_blocks(pg, page_h, comp, valor)
+        next_start = min((b["y_start"] for b in extracted), default=page_h)
+
+        active: list[tuple[dict, dict]] = []
+        for st in pending:
+            cb = dict(st["block"], y_start=0.0,
+                      y_end=max(0.0, min(next_start - 0.5, page_h)))
+            active.append((cb, st))
+        for b in extracted:
+            active.append((b, dict(block=b, carry=0)))
+
+        pfx_masks = _prefix_masks(pg)
+
+        nxt_pending: list[dict] = []
+        for block, st in active:
+            has_vals = False
+            bounds = [c for (_m, cc, vc) in block["months"]
+                      for c in (cc, vc) if c is not None]
+            code_max_x = max(0.0, min(bounds) - 12.0) if bounds else None
+
+            for code, column, prefix, alias in TARGET_CODES:
+                cand = pfx_masks[_norm_prefix(prefix)]
+                if code_max_x is not None:
+                    cand = cand & (pg.x1 <= code_max_x)
+                idxs = np.flatnonzero(cand)
+                if idxs.size == 0:
+                    continue
+                seen: set = set()
+                for ai in idxs:
+                    origin = (round(pg.top[ai] * 100), round(pg.bottom[ai] * 100),
+                              round(pg.x0[ai] * 100), round(pg.x1[ai] * 100))
+                    if origin in seen:
+                        continue
+                    seen.add(origin)
+                    got = _row_values(pg, ai, block, column)
+                    if not got:
+                        continue
+                    has_vals = True
+                    storage = alias or code
+                    tgt = values.setdefault(storage, {})
+                    for key, vs in got:
+                        old = tgt.get(key)
+                        if old is not None and old != vs and \
+                                Decimal(old) != Decimal(vs):
+                            conflicts += 1  # A1 conflict metric (:498-506)
+                        tgt[key] = vs
+
+            if not has_vals:
+                nc = st["carry"] + 1
+                if nc <= MAX_BLOCK_CARRY:
+                    nxt_pending.append(dict(block=st["block"], carry=nc))
+                else:
+                    carry_expired += 1
+        pending = nxt_pending
+
+    rows = []
+    for code in sorted(values):
+        for (y, m), vs in sorted(values[code].items()):
+            rows.append((url, code, y, m, vs,
+                         None, None, None, None, None))
+    metrics = (url, METRICS_CODE, 0, 0, None,
+               len(raw_pages), decode_failures, conflicts, carry_expired,
+               e2_person_name(text or ""))
+    return rows, metrics
+
+
+def _row_values(pg: _Page, anchor: int, block: dict,
+                column: int) -> list[tuple[tuple[int, int], str]]:
+    """G6 row assembly + G7 nearest-center month assignment for one anchor."""
+    row_top = max(block["y_start"], pg.top[anchor] - 0.5)
+    row_bot = min(block["y_end"], pg.bottom[anchor] + 0.5)
+    min_x = pg.x0[anchor] - 1.0
+    code_cy = pg.cy[anchor]
+
+    mask = ((pg.line_key == pg.line_key[anchor])
+            & ~(pg.bottom < row_top) & ~(pg.top > row_bot)
+            & (pg.x1 >= min_x)
+            & (np.abs(pg.cy - code_cy) <= 0.3)
+            & pg.is_num)
+    widx = np.flatnonzero(mask)
+    if widx.size == 0:
+        return []
+    # sort by (x0, x1) like the reference (:605) so later columns of the
+    # same month overwrite earlier ones in the same insert order
+    widx = widx[np.lexsort((pg.x1[widx], pg.x0[widx]))]
+
+    months = block["months"]
+    targets = np.full(len(months), np.nan)
+    for k, (_mn, cc, vc) in enumerate(months):
+        t = cc if column == 1 else vc
+        if t is None:
+            t = vc if column == 1 else cc
+        if t is not None:
+            targets[k] = t
+    if np.all(np.isnan(targets)):
+        return []
+
+    out: list[tuple[tuple[int, int], str]] = []
+    centers = pg.cx[widx]
+    # distance matrix: |word_center - month_target| (words × months)
+    dist = np.abs(centers[:, None] - targets[None, :])
+    dist = np.where(np.isnan(dist), np.inf, dist)
+    best = np.argmin(dist, axis=1)
+    best_d = dist[np.arange(len(widx)), best]
+    for j, wi in enumerate(widx):
+        if best_d[j] <= 25.0:
+            mn = months[best[j]][0]
+            txt = pg.texts[wi]
+            cleaned = txt.replace(".", "").replace(",", ".")
+            out.append(((block["year"], mn), cleaned))
+    return out
+
+
+def extract_ficha_long(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas entry: pages-table batches → long extraction rows."""
+    cols = ["url", "code", "year", "month", "value",
+            "pages", "decode_failures", "conflicts", "carry_expired",
+            "person"]
+    for pdf in batches:
+        out_rows: list = []
+        for url, html, text in zip(pdf["url"], pdf["html"], pdf["text"]):
+            rows, metrics = _extract_doc(url, html, text)
+            out_rows.extend(rows)
+            out_rows.append(metrics)
+        yield pd.DataFrame(out_rows, columns=cols)

@@ -1,0 +1,240 @@
+"""Engine-2 dataflow: layout kernel → relational rules → output series.
+
+Everything after the Arrow kernel is pure DataFrame ops (Catalyst):
+
+* A1 last-write-wins happens inside the kernel (per-document state);
+* A6 vacation adjustment  = pivot + broadcast-friendly joins
+  (reference ``ficha_financeira_processor.py:935-996``);
+* A7 zero-fill            = month-dimension LEFT JOIN (``:917-933``);
+* C6 minutes mode / C5 formatting = Arrow UDFs over canonical decimal
+  strings (scale-preserving — see ``functions/brnum.py``).
+
+Values travel as canonical decimal strings ('1234.56') end-to-end:
+exact, order-independent, and scale-preserving (the minutes rule reads
+'9.3' differently from '9.30').
+
+Scale notes (100 TB story): the kernel stage is shuffle-free
+(one row per document, mapInPandas). The only shuffles are the
+adjustment pivot and the per-code series joins — all keyed on
+(url, year, month), a high-cardinality nearly-uniform key. The month
+dimension is a few hundred rows → broadcast. Oversized documents are
+bounded by pages-per-doc, not rows, so AQE skew handling plus
+`spark.sql.files.maxPartitionBytes` keeps tasks even.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.brnum import (
+    convert_minutes_udf,
+    decimal_add_udf,
+    decimal_div_pct_udf,
+    format_decimal_udf,
+)
+from .kernel import E2_LONG_SCHEMA, METRICS_CODE, extract_ficha_long
+
+FERIAS_CODES = ["167-Ferias", "168-Ferias", "173-Ferias", "174-Ferias"]
+INSS_COMP, INSS_VALOR = "527-INSS-Comp", "527-INSS-Valor"
+BASE_CODE = "3123-Base"
+
+
+def extract_ficha(pages_df: DataFrame, with_layout_only: bool = True) -> DataFrame:
+    """pages table → long extraction rows (+ per-doc __metrics__ rows).
+
+    Shuffle-free: one input row per document, mapInPandas kernel.
+    """
+    df = pages_df.select("url", "html", "text")
+    if with_layout_only:
+        df = df.filter(F.length("html") > 0)
+    return df.mapInPandas(extract_ficha_long, schema=E2_LONG_SCHEMA)
+
+
+def values_table(long_df: DataFrame) -> DataFrame:
+    return long_df.filter(F.col("code") != METRICS_CODE).select(
+        "url", "code", "year", "month", "value"
+    )
+
+
+def metrics_table(long_df: DataFrame) -> DataFrame:
+    return long_df.filter(F.col("code") == METRICS_CODE).select(
+        "url", "pages", "decode_failures", "conflicts", "carry_expired", "person"
+    )
+
+
+def apply_vacation_adjustments_df(vals: DataFrame) -> DataFrame:
+    """A6: 3123-Base[key] += 527-Valor / (527-Comp/100).
+
+    The reference iterates a 'vacation months' set (férias keys ∪ 527
+    keys), but the additional term is only computable where BOTH 527
+    series exist and comp != 0 — and every such key is in the set by
+    construction, so the férias qualification never changes the result;
+    the pivot below keys directly on computable months.
+    """
+    pair = vals.filter(F.col("code").isin(INSS_COMP, INSS_VALOR))
+    pv = (
+        pair.groupBy("url", "year", "month")
+        .pivot("code", [INSS_COMP, INSS_VALOR])
+        .agg(F.first("value"))
+        .withColumnRenamed(INSS_COMP, "comp")
+        .withColumnRenamed(INSS_VALOR, "valor")
+    )
+    adj = (
+        pv.filter(
+            F.col("comp").isNotNull()
+            & F.col("valor").isNotNull()
+            & (F.col("comp").cast("decimal(38,6)") != 0)
+        )
+        .withColumn("additional", decimal_div_pct_udf("valor", "comp"))
+        .select("url", "year", "month", "additional")
+    )
+
+    base = vals.filter(F.col("code") == BASE_CODE).select(
+        "url", "year", "month", "value"
+    )
+    new_base = (
+        base.join(adj, ["url", "year", "month"], "full_outer")
+        .withColumn(
+            "value",
+            F.when(F.col("additional").isNull(), F.col("value")).otherwise(
+                decimal_add_udf("value", "additional")
+            ),
+        )
+        .select(
+            "url",
+            F.lit(BASE_CODE).alias("code"),
+            "year",
+            "month",
+            "value",
+        )
+    )
+    return vals.filter(F.col("code") != BASE_CODE).unionByName(new_base)
+
+
+def month_dim(spark: SparkSession, start: tuple[int, int],
+              end: tuple[int, int]) -> DataFrame:
+    """Generated month dimension [(start..end)] — tiny, broadcastable."""
+    (y0, m0), (y1, m1) = start, end
+    return spark.sql(
+        f"""SELECT year(m) AS year, month(m) AS month
+            FROM (SELECT explode(sequence(to_date('{y0:04d}-{m0:02d}-01'),
+                                          to_date('{y1:04d}-{m1:02d}-01'),
+                                          interval 1 month)) AS m)"""
+    )
+
+
+def series_for_code(vals: DataFrame, code: str, start: tuple[int, int],
+                    end: tuple[int, int],
+                    urls: DataFrame | None = None) -> DataFrame:
+    """A7 zero-fill: every requested month per url, missing → '0'.
+
+    The dimension side is broadcast (months × 1); urls default to the
+    distinct urls in `vals` (per-document output parity with the
+    reference, which emits one CSV per PDF).
+    """
+    spark = vals.sparkSession
+    dim = month_dim(spark, start, end)
+    if urls is None:
+        urls = vals.select("url").distinct()
+    grid = urls.crossJoin(F.broadcast(dim))
+    ser = vals.filter(F.col("code") == code).select("url", "year", "month", "value")
+    return (
+        grid.join(ser, ["url", "year", "month"], "left")
+        .withColumn("value", F.coalesce(F.col("value"), F.lit("0")))
+    )
+
+
+def format_decimal_col(col_name: str):
+    return format_decimal_udf(F.col(col_name))
+
+
+# ---------------------------------------------------------------------------
+# Output tables (writers K2/K3/K4 as DataFrames)
+# ---------------------------------------------------------------------------
+
+def default_series_table(vals: DataFrame, code: str, start, end) -> DataFrame:
+    """K2 (PROVENTOS / ADIC. INSALUBRIDADE): zero-filled + formatted."""
+    ser = series_for_code(vals, code, start, end)
+    return ser.select(
+        "url", "year", "month",
+        F.format_string("%02d/%04d", "month", "year").alias("mes_ano"),
+        format_decimal_udf(F.col("value")).alias("valor"),
+    )
+
+
+def cartoes_table(vals: DataFrame, start, end, minutes_mode: bool = False) -> DataFrame:
+    """K3: HORA EXTRA 50% (+ conditional 100% column per url — A8)."""
+    h50 = series_for_code(vals, "6-Horas", start, end).withColumnRenamed("value", "v50")
+    h100 = (series_for_code(vals, "14-Horas100", start, end)
+            .withColumnRenamed("value", "v100"))
+    df = h50.join(h100, ["url", "year", "month"], "full_outer")
+    df = df.withColumn("v50", F.coalesce("v50", F.lit("0"))) \
+           .withColumn("v100", F.coalesce("v100", F.lit("0")))
+    if minutes_mode:
+        df = df.withColumn("v50", convert_minutes_udf("v50")) \
+               .withColumn("v100", convert_minutes_udf("v100"))
+    # A8: include the 100% column only when the url has any nonzero value
+    inc = df.groupBy("url").agg(
+        F.max(F.col("v100").cast("decimal(38,6)") != 0).alias("include_extra_100"))
+    return (
+        df.join(F.broadcast(inc), "url")
+        .select(
+            "url", "year", "month",
+            F.format_string("%02d/%04d", "month", "year").alias("periodo"),
+            format_decimal_udf(F.col("v50")).alias("hora_extra_50"),
+            format_decimal_udf(F.col("v100")).alias("hora_extra_100"),
+            "include_extra_100",
+        )
+    )
+
+
+def horas_trabalhadas_table(vals: DataFrame, start, end,
+                            minutes_mode: bool = False) -> DataFrame:
+    """K4: PERIODO;HORAS TRAB.;FALTAS (1-Salario comp column + 952)."""
+    horas = series_for_code(vals, "1-Salario", start, end).withColumnRenamed("value", "vh")
+    faltas = (series_for_code(vals, "952-FaltaInjustifica", start, end)
+              .withColumnRenamed("value", "vf"))
+    df = horas.join(faltas, ["url", "year", "month"], "full_outer")
+    df = df.withColumn("vh", F.coalesce("vh", F.lit("0"))) \
+           .withColumn("vf", F.coalesce("vf", F.lit("0")))
+    if minutes_mode:
+        df = df.withColumn("vh", convert_minutes_udf("vh")) \
+               .withColumn("vf", convert_minutes_udf("vf"))
+    return df.select(
+        "url", "year", "month",
+        F.format_string("%02d/%04d", "month", "year").alias("periodo"),
+        format_decimal_udf(F.col("vh")).alias("horas_trab"),
+        format_decimal_udf(F.col("vf")).alias("faltas"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Byte-exact CSV renderers (fixture-parity; reference :998-1119)
+# ---------------------------------------------------------------------------
+
+DEFAULT_HEADER = ("MES_ANO;VALOR;FGTS;FGTS_REC.;CONTRIBUICAO_SOCIAL;"
+                  "CONTRIBUICAO_SOCIAL_REC.;;;;")
+
+
+def render_default_csv(rows: list[tuple[str, str]]) -> str:
+    """rows = [(mes_ano, formatted_value)] ordered by (year, month)."""
+    out = [DEFAULT_HEADER]
+    for mes_ano, valor in rows:
+        out.append(f"{mes_ano};{valor};N;N;N;N;;;;")
+    return "\n".join(out) + "\n"
+
+
+def render_cartoes_csv(rows: list[tuple[str, str, str]], include_extra: bool) -> str:
+    header = "PERIODO;HORA EXTRA 50%" + (";HORA EXTRA 100%" if include_extra else "")
+    out = [header]
+    for periodo, v50, v100 in rows:
+        out.append(f"{periodo};{v50};{v100}" if include_extra else f"{periodo};{v50}")
+    return "\n".join(out) + "\n"
+
+
+def render_horas_csv(rows: list[tuple[str, str, str]]) -> str:
+    out = ["PERIODO;HORAS TRAB.;FALTAS"]
+    for periodo, vh, vf in rows:
+        out.append(f"{periodo};{vh};{vf}")
+    return "\n".join(out) + "\n"

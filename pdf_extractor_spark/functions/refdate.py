@@ -1,0 +1,73 @@
+"""C3 reference-date extraction as pure Catalyst expressions.
+
+Reproduces ``pdf_processor_core.py:347-380``: six regex patterns tried
+in order over the whole page text; within a pattern, matches are
+scanned in order and the first one whose month token parses (full
+Portuguese month name, 3-letter abbreviation, or integer 1-12) wins.
+
+Implemented as: per-pattern `regexp_extract_all` → ordered concat →
+`filter(valid)` → `element_at(1)`. All JVM-side — this runs per page
+over the whole corpus, so it must stay in whole-stage codegen.
+
+Note (?iU): Python's ``\\w`` is Unicode-aware and the reference matches
+'março'; Java regex needs UNICODE_CHARACTER_CLASS for parity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+MESES_PT = {m: i + 1 for i, m in enumerate(
+    ["janeiro", "fevereiro", "março", "abril", "maio", "junho",
+     "julho", "agosto", "setembro", "outubro", "novembro", "dezembro"])}
+MESES_ABREV = {m: i + 1 for i, m in enumerate(
+    ["jan", "fev", "mar", "abr", "mai", "jun",
+     "jul", "ago", "set", "out", "nov", "dez"])}
+
+# order matters (reference pattern cascade)
+DATE_PATTERNS = [
+    r"(?iU)Referência:\s*(\w+)/(\d{4})",
+    r"(?iU)Referencia:\s*(\w+)/(\d{4})",
+    r"(?iU)Data\s*do\s*c[aá]lculo:\s*\d{2}/(\d{2})/(\d{4})",
+    r"(?iU)Per[ií]odo:\s*(\w+)/(\d{4})",
+    r"(?iU)Compet[êe]ncia:\s*(\w+)/(\d{4})",
+    r"(?iU)(\w+)\s*/\s*(\d{4})",
+]
+
+
+def _month_map_lit() -> Column:
+    items: list[Column] = []
+    for k, v in {**MESES_PT, **MESES_ABREV}.items():
+        items.append(F.lit(k))
+        items.append(F.lit(v))
+    return F.create_map(*items)
+
+
+def reference_date_cols(text: Column) -> tuple[Column, Column]:
+    """Returns (month, year) int columns; both null when no date found
+    (the page is then silently skipped — a decode-failure metric)."""
+    mmap = _month_map_lit()
+
+    def candidates(pat: str) -> Column:
+        full = F.regexp_extract_all(text, F.lit(pat), F.lit(0))
+        return F.transform(
+            full,
+            lambda m: F.struct(
+                F.lower(F.regexp_extract(m, pat, 1)).alias("mes"),
+                F.regexp_extract(m, pat, 2).alias("ano"),
+            ),
+        )
+
+    allc = F.concat(*[candidates(p) for p in DATE_PATTERNS])
+    valid = F.filter(
+        allc,
+        lambda c: F.element_at(mmap, c["mes"]).isNotNull()
+        | F.coalesce(F.try_cast(c["mes"], "int").between(1, 12), F.lit(False)),
+    )
+    first = F.element_at(valid, F.lit(1))
+    month = F.coalesce(
+        F.element_at(mmap, first["mes"]), F.try_cast(first["mes"], "int")
+    )
+    year = F.try_cast(first["ano"], "int")
+    return month, year
