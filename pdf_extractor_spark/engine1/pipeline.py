@@ -1,0 +1,287 @@
+"""Engine-1 dataflow — fully Catalyst (no Python in the hot path).
+
+pages table → posexplode pages (S3) → classify (F1) + reference date
+(C3) → explode lines → broadcast-join the 13-rule dimension on
+substring containment (F2/J8) → last-two-numbers parse (C1/C2) →
+page-level rule aggregation (A2 índice/valor fallback, A3 sumable
+pairs, A4 description duplicates, A5 13º-salário coalesce) →
+last-page-wins per period (the reference's dict overwrite,
+``pdf_processor_core.py:884-911``).
+
+Scale shape: two explodes (pages, lines) multiply rows ~1000× before
+the rules join — both stay in whole-stage codegen; the rules side is a
+13-row broadcast so the join is a codegen'd nested-loop against a
+local array, no shuffle. The only shuffles are the page-level window
+aggregations, keyed by (url, page) — high-cardinality, uniform. Column
+pruning pushes (url, text) reads down to the parquet scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.brnum import to_float_robust_struct
+from ..functions.refdate import reference_date_cols
+from .rules import SUM4, SUMABLE, rules_df
+
+TIPO_RE = r"(?iU)Tipo\s+da\s+folha\s*:"
+FN_RE = r"(?iU)FOLHA\s+NORMAL"
+SAL13_RE = r"(?iU)13\s*SAL[AÁ]RIO"
+IGN_RE = r"(?iU)F[ÉE]RIAS|ADIANTAMENTO|RESCIS[ÃA]O"
+IGN_HDR_RE = r"(?iU)F[ÉE]RIAS|ADIANTAMENTO\s*SALARIAL|RESCIS[ÃA]O"
+NUM_TOKEN_RE = r"[\d]+(?:[.,:]\d+)*"
+
+
+def explode_pages(pages_df: DataFrame) -> DataFrame:
+    """S3: one row per page, preserving page order."""
+    return (
+        pages_df.filter(F.col("text").isNotNull() & (F.col("text") != ""))
+        .select("url", F.posexplode(F.split("text", "\f")).alias("page_idx", "page"))
+    )
+
+
+def classify_pages(page_rows: DataFrame) -> DataFrame:
+    """F1 classifier + C3 reference date. Keeps ALL pages (metrics need
+    the dropped ones); downstream filters on folha_type/date."""
+    lines = F.split(F.col("page"), "\n")
+    tipo_lines = F.filter(lines, lambda ln: F.trim(ln).rlike(TIPO_RE))
+    # per tipo-line classification, first match wins (reference order:
+    # FOLHA NORMAL → 13 SALARIO → FÉRIAS/ADIANTAMENTO/RESCISÃO)
+    line_types = F.filter(
+        F.transform(
+            tipo_lines,
+            lambda ln: F.when(F.trim(ln).rlike(FN_RE), F.lit("FOLHA NORMAL"))
+            .when(F.trim(ln).rlike(SAL13_RE), F.lit("13 SALARIO"))
+            .when(F.trim(ln).rlike(IGN_RE), F.lit("IGNORAR")),
+        ),
+        lambda t: t.isNotNull(),
+    )
+    first_type = F.try_element_at(line_types, F.lit(1))
+    found_tipo = F.size(tipo_lines) > 0
+    header = F.array_join(F.slice(lines, 1, 10), "\n")
+
+    folha_type = (
+        F.when(found_tipo, first_type)  # unmatched tipo → null → dropped
+        .when(header.rlike(SAL13_RE), F.lit("13 SALARIO"))
+        .when(header.rlike(IGN_HDR_RE), F.lit("IGNORAR"))
+        .otherwise(F.lit("FOLHA NORMAL"))
+    )
+    month, year = reference_date_cols(F.col("page"))
+    return page_rows.withColumns(
+        {"folha_type": folha_type, "month": month, "year": year}
+    )
+
+
+def page_metrics(classified: DataFrame) -> DataFrame:
+    """K5/A9 per-document lineage counters (audit-table feed)."""
+    valid = F.col("folha_type").isin("FOLHA NORMAL", "13 SALARIO")
+    return classified.groupBy("url").agg(
+        F.count("*").alias("total_pages"),
+        F.sum((F.col("folha_type").isNull() | ~valid).cast("int")).alias("ignored"),
+        F.sum((valid & F.col("year").isNull()).cast("int")).alias("no_date"),
+        F.sum((F.col("folha_type") == "FOLHA NORMAL").cast("int")).alias("folha_normal_pages"),
+        F.sum((F.col("folha_type") == "13 SALARIO").cast("int")).alias("salario13_pages"),
+    )
+
+
+def matched_lines(classified: DataFrame) -> DataFrame:
+    """F2 + C1/C2: explode lines, broadcast-join rules on containment,
+    parse the last two numeric tokens of each matched line."""
+    rules = F.broadcast(rules_df(classified.sparkSession))
+    pages = classified.filter(
+        F.col("folha_type").isin("FOLHA NORMAL", "13 SALARIO")
+        & F.col("year").isNotNull()
+    )
+    lines = pages.select(
+        "url", "page_idx", "folha_type", "year", "month",
+        F.posexplode(F.split("page", "\n")).alias("line_pos", "raw_line"),
+    ).withColumn("line", F.trim("raw_line")).filter(F.col("line") != "")
+
+    joined = lines.join(
+        rules,
+        (lines["folha_type"] == rules["folha_type"])
+        & lines["line"].contains(rules["code"]),
+        "inner",
+    ).drop(rules["folha_type"])
+
+    toks = F.regexp_extract_all("line", F.lit(NUM_TOKEN_RE), F.lit(0))
+    joined = joined.withColumn("toks", toks)
+    indice = F.when(F.size("toks") >= 2,
+                    to_float_robust_struct(F.element_at("toks", -2)))
+    valor = F.when(F.size("toks") >= 1,
+                   to_float_robust_struct(F.element_at("toks", -1)))
+    return joined.withColumns({"indice": indice, "valor": valor}).drop("toks")
+
+
+def _nonzero(v) -> F.Column:
+    # reference `x is not None and x != 0`; 'HH,MM' strings never equal 0
+    return v.isNotNull() & (v["is_time"] | (v["num"].isNotNull() & (v["num"] != 0)))
+
+
+def _present(v) -> F.Column:
+    # reference `x is not None` (float or 'HH,MM' string)
+    return v.isNotNull() & (v["is_time"] | v["num"].isNotNull())
+
+
+def _value_to_use() -> F.Column:
+    """A2: índice when non-null/non-zero, else valor when fallback; valor
+    rules read valor directly (pdf_processor_core.py:471-496)."""
+    ind, val = F.col("indice"), F.col("valor")
+    return (
+        F.when(
+            F.col("source") == "indice",
+            F.when(_nonzero(ind), ind).when(
+                F.col("fallback") & _present(val), val
+            ),
+        )
+        .when((F.col("source") == "valor") & _present(val), val)
+    )
+
+
+def extract_folha(pages_df: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Full Engine-1 extraction.
+
+    Returns (values, attention):
+      values    = (url, folha_type, year, month, excel_col,
+                   value struct<num double, txt string, is_time boolean>)
+      attention = (url, folha_type, year, month, kind, description,
+                   codes array<string>, excel_col)
+    """
+    classified = classify_pages(explode_pages(pages_df))
+    ml = matched_lines(classified).withColumn("use", _value_to_use())
+
+    pkey = ["url", "page_idx", "folha_type", "year", "month"]
+
+    # --- normal path (FOLHA NORMAL, codes outside the SUM4 set) --------
+    normal = ml.filter(
+        (F.col("folha_type") == "FOLHA NORMAL")
+        & ~F.col("code").isin(SUM4)
+        & F.col("use").isNotNull()
+    )
+    w_col = Window.partitionBy("url", "page_idx", "excel_col").orderBy(
+        F.col("line_pos").desc()
+    )
+    normal_vals = (
+        normal.withColumn("rn", F.row_number().over(w_col))
+        .filter(F.col("rn") == 1)
+        .select(*pkey, "excel_col", F.col("use").alias("value"))
+    )
+
+    # --- A4 description duplicates (attention only, no sum) ------------
+    x_lit = F.array(*[F.lit(c) for c in SUMABLE["X"]])
+    y_lit = F.array(*[F.lit(c) for c in SUMABLE["Y"]])
+    desc_att = (
+        normal.groupBy(*pkey, "description")
+        .agg(F.count("*").alias("n"),
+             F.sort_array(F.collect_list("code")).alias("codes"),
+             F.collect_set("excel_col").alias("cols"))
+        .filter(
+            (F.col("n") > 1)
+            & ~(F.size(F.array_except("codes", x_lit)) == 0)
+            & ~(F.size(F.array_except("codes", y_lit)) == 0)
+        )
+        .select(*pkey, F.lit("duplicidade_descricao").alias("kind"),
+                "description", "codes",
+                F.try_element_at("cols", F.lit(1)).alias("excel_col"))
+    )
+
+    # --- A3 sumable pairs (SUM4 codes) ----------------------------------
+    sum4 = ml.filter(F.col("code").isin(SUM4) & F.col("use").isNotNull()
+                     & (F.col("folha_type") == "FOLHA NORMAL"))
+    w_code = Window.partitionBy("url", "page_idx", "code").orderBy(
+        F.col("line_pos").desc()
+    )
+    sum_last = sum4.withColumn("rn", F.row_number().over(w_code)).filter(
+        F.col("rn") == 1
+    )
+    sum_g = sum_last.groupBy(*pkey, "excel_col", "description").agg(
+        F.count("*").alias("n_codes"),
+        F.sum(F.col("use")["num"]).alias("sum_num"),
+        F.max_by("use", "line_pos").alias("one_use"),
+        F.sort_array(F.collect_list("code")).alias("codes"),
+    )
+    sum_vals = sum_g.select(
+        *pkey, "excel_col",
+        F.when(
+            F.col("n_codes") > 1,
+            F.struct(
+                F.col("sum_num").alias("num"),
+                F.lit(None).cast("string").alias("txt"),
+                F.lit(False).alias("is_time"),
+            ),
+        ).otherwise(F.col("one_use")).alias("value"),
+    )
+    sum_att = sum_g.filter(F.col("n_codes") > 1).select(
+        *pkey, F.lit("soma_automatica").alias("kind"), "description",
+        "codes", "excel_col",
+    )
+
+    # --- A5 13º-salário coalesce (09090301 preferred, else 09090101) ---
+    s13 = ml.filter(F.col("folha_type") == "13 SALARIO")
+
+    def last_valor(code: str, alias: str) -> DataFrame:
+        w = Window.partitionBy(*pkey).orderBy(F.col("line_pos").desc())
+        return (
+            s13.filter(F.col("code") == code)
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(*pkey, F.col("valor").alias(alias))
+        )
+
+    j13 = last_valor("09090301", "v301").join(
+        last_valor("09090101", "v101"), pkey, "full_outer"
+    )
+    b13 = (
+        j13.withColumn(
+            "value",
+            F.when(_nonzero(F.col("v301")), F.col("v301")).when(
+                _nonzero(F.col("v101")), F.col("v101")
+            ),
+        )
+        .filter(F.col("value").isNotNull())
+        .select(*pkey, F.lit("B").alias("excel_col"), "value")
+    )
+
+    # --- last-page-wins per (url, folha_type, period): the reference's
+    #     full-dict replace (extracted_data[ft][period] = page_data) -----
+    w_period = Window.partitionBy("url", "folha_type", "year", "month")
+    union = (
+        normal_vals.withColumn("__src", F.lit("normal"))
+        .unionByName(sum_vals.withColumn("__src", F.lit("sum")))
+        .unionByName(b13.withColumn("__src", F.lit("b13")))
+        .withColumn("max_page", F.max("page_idx").over(w_period))
+        .filter(F.col("page_idx") == F.col("max_page"))
+    )
+    # a column may appear in the sumable AND normal path on the same page
+    # (e.g. 01017101 → X then sum(01003601+02) → X): sumable overwrites
+    # (it runs after the line loop in the reference :507-549)
+    priority = F.when(F.col("__src") == "sum", 1).otherwise(0)
+    values = (
+        union.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy(
+                    "url", "folha_type", "year", "month", "excel_col"
+                ).orderBy(priority.desc())
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("url", "folha_type", "year", "month", "excel_col", "value")
+    )
+
+    win_pages = union.select(
+        "url", "folha_type", "year", "month", "page_idx"
+    ).distinct()
+    attention = (
+        desc_att.unionByName(sum_att)
+        .join(win_pages, ["url", "folha_type", "year", "month", "page_idx"],
+              "left_semi")
+        .select("url", "folha_type", "year", "month", "kind", "description",
+                "codes", "excel_col")
+    )
+    return values, attention
+
+
+def attention_table(pages_df: DataFrame) -> DataFrame:
+    return extract_folha(pages_df)[1]

@@ -35,7 +35,7 @@ def to_decimal_expr(col: Column, precision: int = 38, scale: int = 6) -> Column:
     """C4 `_to_decimal`: '1.234,56' → 1234.56 (invalid → 0)."""
     cleaned = F.regexp_replace(F.regexp_replace(col, r"\.", ""), ",", ".")
     return F.coalesce(
-        F.try_cast(cleaned, f"decimal({precision},{scale})"),
+        cleaned.try_cast(f"decimal({precision},{scale})"),
         F.lit(0).cast(f"decimal({precision},{scale})"),
     )
 
@@ -63,20 +63,19 @@ def to_float_robust_struct(tok: Column) -> Column:
         F.when(cleaned == "", F.lit(None).cast("double"))
         .when(
             has_comma & (n_comma == 1),
-            F.try_cast(
-                F.regexp_replace(F.regexp_replace(cleaned, r"\.", ""), ",", "."),
-                "double",
-            ),
+            F.regexp_replace(
+                F.regexp_replace(cleaned, r"\.", ""), ",", "."
+            ).try_cast("double"),
         )
         .when(
             has_dot & (n_dot == 1) & has_comma,
-            F.try_cast(F.regexp_replace(cleaned, ",", ""), "double"),
+            F.regexp_replace(cleaned, ",", "").try_cast("double"),
         )
         .when(
             has_comma & ~has_dot,
-            F.try_cast(F.regexp_replace(cleaned, ",", "."), "double"),
+            F.regexp_replace(cleaned, ",", ".").try_cast("double"),
         )
-        .otherwise(F.try_cast(cleaned, "double"))
+        .otherwise(cleaned.try_cast("double"))
     )
     return F.struct(
         F.when(~is_time, num).alias("num"),

@@ -63,11 +63,11 @@ def reference_date_cols(text: Column) -> tuple[Column, Column]:
     valid = F.filter(
         allc,
         lambda c: F.element_at(mmap, c["mes"]).isNotNull()
-        | F.coalesce(F.try_cast(c["mes"], "int").between(1, 12), F.lit(False)),
+        | F.coalesce(c["mes"].try_cast("int").between(1, 12), F.lit(False)),
     )
-    first = F.element_at(valid, F.lit(1))
+    first = F.try_element_at(valid, F.lit(1))
     month = F.coalesce(
-        F.element_at(mmap, first["mes"]), F.try_cast(first["mes"], "int")
+        F.element_at(mmap, first["mes"]), first["mes"].try_cast("int")
     )
-    year = F.try_cast(first["ano"], "int")
+    year = first["ano"].try_cast("int")
     return month, year
