@@ -1,0 +1,239 @@
+"""Deduplication operators for web-scale corpus curation.
+
+All pure DataFrame ops (no Python UDFs): hashing via ``xxhash64`` /
+``md5``, signatures via per-permutation ``min`` aggregates, candidate
+generation via band-bucket self-joins — the standard MinHash-LSH /
+SimHash shapes used on Common-Crawl-scale corpora.
+
+Scale notes:
+* exact dedup — one shuffle on the content hash; skew-free (hashes are
+  uniform).
+* MinHash-LSH — shuffles: shingle explode → groupBy(doc) signature
+  (map-side combined), band explode → groupBy(band bucket). The band
+  join is self-equi-join on (band_idx, band_hash): bucket sizes are the
+  skew risk at 10^12 docs (boilerplate shingles) → cap bucket size
+  before pairing (`max_bucket` guard) exactly like production dedup
+  pipelines drop megabuckets.
+* SimHash — one groupBy(doc) for the bit-vote signature, then a
+  16-bit-chunk bucket join; hamming verify via bit_count(xor).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# 31-bit Mersenne prime: with h, a, b < 2^31, a*h + b < 2^63 (no ANSI
+# long overflow inside the codegen'd min-aggregate)
+MERSENNE = (1 << 31) - 1
+
+
+def normalize_text(col: Column) -> Column:
+    """lower + collapse whitespace — canonical form for hashing."""
+    return F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
+
+
+def exact_duplicates(docs: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Hash-groupBy exact dedup: groups with >1 member, with the
+    canonical (minimum) id per group."""
+    h = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.md5(normalize_text(F.col(text_col))).alias("content_hash"),
+    )
+    return (
+        h.groupBy("content_hash")
+        .agg(
+            F.count("*").alias("n_dups"),
+            F.min("doc_id").alias("canonical_id"),
+            F.sort_array(F.collect_list("doc_id")).alias("members"),
+        )
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+def shingles(col: Column, k: int = 5) -> Column:
+    """Word k-shingles of the normalized text (array<string>)."""
+    words = F.split(normalize_text(col), " ")
+    n = F.size(words)
+    return F.when(n >= k, F.transform(
+        F.sequence(F.lit(0), n - k),
+        lambda i: F.array_join(F.slice(words, i + 1, k), " "),
+    )).otherwise(F.array(F.array_join(words, " ")))
+
+
+def _perm_params(n_perm: int, seed: int = 42) -> list[tuple[int, int]]:
+    import random
+
+    rng = random.Random(seed)
+    return [(rng.randrange(1, MERSENNE), rng.randrange(0, MERSENNE))
+            for _ in range(n_perm)]
+
+
+def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text", k: int = 5,
+                       n_perm: int = 64, seed: int = 42) -> DataFrame:
+    """doc → n_perm-column MinHash signature over word k-shingles.
+
+    One explode + one map-side-combinable groupBy; the per-permutation
+    min is computed from a single base xxhash64 per distinct shingle.
+    """
+    sh = (
+        docs.select(F.col(id_col).alias("doc_id"),
+                    F.explode(shingles(F.col(text_col), k)).alias("shingle"))
+        .distinct()
+        .withColumn("h", F.pmod(F.xxhash64("shingle"), F.lit(MERSENNE)))
+    )
+    aggs = [
+        F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(MERSENNE)).alias(f"mh_{i}")
+        for i, (a, b) in enumerate(_perm_params(n_perm, seed))
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", k: int = 5, n_perm: int = 64,
+                      bands: int = 16, threshold: float = 0.8,
+                      seed: int = 42, max_bucket: int = 1000) -> DataFrame:
+    """MinHash + banded LSH near-duplicate pairs, verified with exact
+    shingle-set Jaccard ≥ threshold.
+
+    Returns (a, b, jaccard) with a < b.
+    """
+    rows = n_perm // bands
+    sig = minhash_signatures(docs, id_col, text_col, k, n_perm, seed)
+    band_cols = [
+        F.struct(F.lit(bi).alias("band_idx"),
+                 F.xxhash64(*[f"mh_{bi * rows + r}" for r in range(rows)])
+                 .alias("band_hash"))
+        for bi in range(bands)
+    ]
+    banded = sig.select("doc_id", F.explode(F.array(*band_cols)).alias("b")) \
+                .select("doc_id", "b.band_idx", "b.band_hash")
+    # megabucket guard: identical boilerplate can put millions of docs in
+    # one bucket → quadratic pair blowup; cap like production pipelines
+    bucket_sizes = banded.groupBy("band_idx", "band_hash").count()
+    banded = banded.join(
+        bucket_sizes.filter(F.col("count") <= max_bucket)
+        .select("band_idx", "band_hash"),
+        ["band_idx", "band_hash"], "left_semi")
+
+    left = banded.alias("l")
+    right = banded.alias("r")
+    cand = (
+        left.join(right,
+                  (F.col("l.band_idx") == F.col("r.band_idx"))
+                  & (F.col("l.band_hash") == F.col("r.band_hash"))
+                  & (F.col("l.doc_id") < F.col("r.doc_id")))
+        .select(F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b"))
+        .distinct()
+    )
+    jac = jaccard_for_pairs(docs, cand, id_col, text_col, k)
+    return jac.filter(F.col("jaccard") >= threshold)
+
+
+def jaccard_for_pairs(docs: DataFrame, pairs: DataFrame,
+                      id_col: str = "doc_id", text_col: str = "text",
+                      k: int = 5) -> DataFrame:
+    """Exact shingle-set Jaccard for candidate (a, b) pairs."""
+    sh = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(shingles(F.col(text_col), k)).alias("shingle"),
+    ).distinct()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    sha = sh.select(F.col("doc_id").alias("a"), "shingle")
+    shb = sh.select(F.col("doc_id").alias("b"), "shingle")
+    inter = (
+        pairs.join(sha, "a").join(shb, ["b", "shingle"])
+        .groupBy("a", "b").agg(F.count("*").alias("inter"))
+    )
+    na = sizes.select(F.col("doc_id").alias("a"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col("doc_id").alias("b"), F.col("n").alias("n_b"))
+    return (
+        pairs.join(inter, ["a", "b"], "left")
+        .withColumn("inter", F.coalesce("inter", F.lit(0)))
+        .join(na, "a").join(nb, "b")
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")),
+        )
+        .select("a", "b", "jaccard")
+    )
+
+
+def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", k: int = 3,
+                        threshold: float = 0.5) -> DataFrame:
+    """n-gram Jaccard dedup via shared-shingle candidate generation
+    (inverted-index join), then exact verification. Unlike LSH this is
+    exact at the chosen n-gram size; candidate count is bounded by
+    shared-shingle co-occurrence."""
+    sh = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(shingles(F.col(text_col), k)).alias("shingle"),
+    ).distinct()
+    # drop ubiquitous shingles (stopword-only n-grams) — same megabucket
+    # guard as LSH; keeps the inverted index join linear-ish
+    df_counts = sh.groupBy("shingle").count()
+    rare = df_counts.filter(F.col("count") <= 100).select("shingle")
+    shr = sh.join(rare, "shingle", "left_semi")
+    a = shr.select(F.col("doc_id").alias("a"), "shingle")
+    b = shr.select(F.col("doc_id").alias("b"), "shingle")
+    cand = (a.join(b, "shingle").filter(F.col("a") < F.col("b"))
+            .select("a", "b").distinct())
+    return jaccard_for_pairs(docs, cand, id_col, text_col, k).filter(
+        F.col("jaccard") >= threshold)
+
+
+def simhash_signatures(docs: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text", bits: int = 64) -> DataFrame:
+    """64-bit SimHash: per-token xxhash64, per-bit ±1 vote, sign → bit."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("tok"),
+    ).withColumn("h", F.xxhash64("tok"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1,
+                   1).otherwise(-1)
+        ).alias(f"v_{b}")
+        for b in range(bits)
+    ]
+    sig = toks.groupBy("doc_id").agg(*votes)
+    acc = F.lit(0).cast("long")
+    for b in range(bits - 1):  # skip sign bit to stay in long range
+        acc = acc + F.when(F.col(f"v_{b}") > 0,
+                           F.lit(1 << b).cast("long")).otherwise(F.lit(0))
+    return sig.select("doc_id", acc.alias("simhash"))
+
+
+def simhash_pairs(docs: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text", max_hamming: int = 3) -> DataFrame:
+    """SimHash near-dup pairs: 16-bit chunk bucketing (pigeonhole: any
+    pair within hamming ≤ 3 shares at least one of 4 chunks), verified
+    by bit_count(xor) ≤ max_hamming."""
+    sig = simhash_signatures(docs, id_col, text_col)
+    chunks = F.array(*[
+        F.struct(F.lit(c).alias("chunk_idx"),
+                 F.shiftright(F.col("simhash"), c * 16)
+                 .bitwiseAND(F.lit(0xFFFF)).alias("chunk"))
+        for c in range(4)
+    ])
+    bucketed = sig.select("doc_id", "simhash",
+                          F.explode(chunks).alias("c")) \
+                  .select("doc_id", "simhash", "c.chunk_idx", "c.chunk")
+    l, r = bucketed.alias("l"), bucketed.alias("r")
+    cand = (
+        l.join(r, (F.col("l.chunk_idx") == F.col("r.chunk_idx"))
+               & (F.col("l.chunk") == F.col("r.chunk"))
+               & (F.col("l.doc_id") < F.col("r.doc_id")))
+        .select(F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b"),
+                F.col("l.simhash").alias("sh_a"), F.col("r.simhash").alias("sh_b"))
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming",
+                        F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("a", "b", "hamming")
+    )

@@ -1,0 +1,102 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed
+metadata, with decode / feature-extract / frame-sample as Arrow-batched
+mapInPandas kernels.
+
+The decode libraries (PIL/ffmpeg/librosa) are not in this container, so
+the *decode step* is stubbed: `deterministic_fake=True` produces a
+seeded, content-hash-derived feature vector so the Spark-side plumbing
+(schema, batch shape, partitioning, UDF signature) is fully real and
+tested; `deterministic_fake=False` raises NotImplementedError at the
+exact point a real decoder would plug in.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_SCHEMA = ("doc_id bigint, media_type string, payload binary, "
+                "width int, height int, duration_ms int")
+
+FEATURE_SCHEMA = ("doc_id bigint, media_type string, n_bytes bigint, "
+                  "feature array<float>, decode_ok boolean")
+
+
+def synth_media_table(spark, docs: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """Derive a deterministic media table from a docs table: payload =
+    utf-8 bytes of the text (stand-in blob), typed metadata columns."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.pmod(F.xxhash64(id_col), F.lit(3)) + 1).cast("int"),
+        ).alias("media_type"),
+        F.encode(F.col(text_col), "utf-8").alias("payload"),
+        (F.pmod(F.xxhash64(id_col, F.lit(1)), F.lit(1920)) + 1).cast("int").alias("width"),
+        (F.pmod(F.xxhash64(id_col, F.lit(2)), F.lit(1080)) + 1).cast("int").alias("height"),
+        (F.pmod(F.xxhash64(id_col, F.lit(3)), F.lit(600000)) + 1).cast("int").alias("duration_ms"),
+    )
+
+
+def _fake_feature(payload: bytes, dim: int) -> np.ndarray:
+    # content-addressed deterministic pseudo-embedding
+    seed = int.from_bytes(hashlib.sha256(payload or b"").digest()[:8], "big")
+    rng = np.random.default_rng(seed)
+    v = rng.standard_normal(dim).astype(np.float32)
+    return v / np.linalg.norm(v)
+
+
+def extract_features(media: DataFrame, dim: int = 16,
+                     deterministic_fake: bool = True) -> DataFrame:
+    """Decode + feature-extract kernel over Arrow batches.
+
+    Real decoders would replace `_fake_feature` per media_type
+    (PIL resize+CNN for image, mel-spectrogram for audio, frame-sample
+    for video); everything else — batching, schema, null handling —
+    is production-shaped.
+    """
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats, oks = [], []
+            for payload in pdf["payload"]:
+                if not deterministic_fake:
+                    raise NotImplementedError(
+                        "real media decoders are not available in this "
+                        "environment; pass deterministic_fake=True")
+                try:
+                    feats.append(_fake_feature(bytes(payload or b""), dim)
+                                 .tolist())
+                    oks.append(True)
+                except Exception:
+                    feats.append(None)
+                    oks.append(False)
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "media_type": pdf["media_type"],
+                "n_bytes": pdf["payload"].map(lambda b: len(b or b"")),
+                "feature": feats,
+                "decode_ok": oks,
+            })
+
+    return media.select("doc_id", "media_type", "payload").mapInPandas(
+        kernel, schema=FEATURE_SCHEMA)
+
+
+def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Video frame-sampling *plan* (pure relational): one row per frame
+    timestamp to decode — the fan-out stage that precedes the decode
+    kernel at scale."""
+    video = media.filter(F.col("media_type") == "video")
+    return video.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(0), F.col("duration_ms"), F.lit(every_ms))
+        ).alias("frame_ts_ms"),
+    )

@@ -1,0 +1,152 @@
+"""Similarity search over embedding columns (array<float>).
+
+* `cosine_topk` — exact brute-force baseline: broadcast the query set,
+  JVM-side dot products via zip_with/aggregate (no Python), window
+  top-k. Correctness oracle for the approximate path.
+* `lsh_topk` — scale path: random-hyperplane signatures bucket the
+  corpus; only same-bucket candidates get exact scoring. At 10^12 rows
+  the bucket join replaces the O(N·Q) scan with O(candidates).
+* `embedding_near_duplicates` — cosine ≥ threshold pairs via the same
+  hyperplane bucketing (embedding near-dup dedup).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(
+        F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0), lambda acc, v: acc + v))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                q_id_col: str = "query_id", q_vec_col: str = "q_vec") -> DataFrame:
+    """Exact top-k neighbours per query (excluding self-matches by id).
+
+    Plan shape: broadcast-nested-loop of corpus × queries (queries are
+    small by contract), all dot products in codegen, then a per-query
+    window top-k. Ties broken by neighbour id for determinism.
+    """
+    q = F.broadcast(queries.select(F.col(q_id_col).alias("query_id"),
+                                   F.col(q_vec_col).alias("q_vec")))
+    scored = (
+        embeddings.select(F.col(id_col).alias("neighbor_id"),
+                          F.col(vec_col).alias("vec"))
+        .crossJoin(q)
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos", cosine(F.col("vec"), F.col("q_vec")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos")
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim))
+
+
+def hyperplane_signature(vec: Column, planes: np.ndarray) -> Column:
+    """Sign-of-projection bit signature as an int column per plane-group."""
+    bits = []
+    for i, p in enumerate(planes):
+        plane = F.array(*[F.lit(float(x)) for x in p])
+        proj = _dot(vec, plane)
+        bits.append(F.when(proj >= 0, F.lit(1 << i)).otherwise(F.lit(0)))
+    acc = bits[0]
+    for b in bits[1:]:
+        acc = acc + b
+    return acc.cast("long")
+
+
+def lsh_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             q_id_col: str = "query_id", q_vec_col: str = "q_vec",
+             n_tables: int = 4, n_planes: int = 8, dim: int | None = None,
+             seed: int = 42) -> DataFrame:
+    """Approximate top-k: `n_tables` independent hyperplane tables of
+    `n_planes` bits; candidates = corpus rows sharing a bucket with the
+    query in any table; exact cosine re-scoring on candidates only."""
+    if dim is None:
+        dim = len(embeddings.select(vec_col).first()[0])
+    corpus = embeddings.select(F.col(id_col).alias("neighbor_id"),
+                               F.col(vec_col).alias("vec"))
+    q = queries.select(F.col(q_id_col).alias("query_id"),
+                       F.col(q_vec_col).alias("q_vec"))
+    sig_cols_c, sig_cols_q = [], []
+    for t in range(n_tables):
+        planes = _hyperplanes(dim, n_planes, seed + 1000 * t)
+        sig_cols_c.append(
+            F.struct(F.lit(t).alias("table"),
+                     hyperplane_signature(F.col("vec"), planes).alias("bucket")))
+        sig_cols_q.append(
+            F.struct(F.lit(t).alias("table"),
+                     hyperplane_signature(F.col("q_vec"), planes).alias("bucket")))
+    c_b = corpus.select("neighbor_id", "vec",
+                        F.explode(F.array(*sig_cols_c)).alias("s")) \
+                .select("neighbor_id", "vec", "s.table", "s.bucket")
+    q_b = F.broadcast(
+        q.select("query_id", "q_vec",
+                 F.explode(F.array(*sig_cols_q)).alias("s"))
+        .select("query_id", "q_vec", "s.table", "s.bucket"))
+    cand = (
+        c_b.join(q_b, ["table", "bucket"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "q_vec", "neighbor_id", "vec")
+        .distinct()
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc())
+    return (
+        cand.withColumn("cos", cosine(F.col("vec"), F.col("q_vec")))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos")
+    )
+
+
+def embedding_near_duplicates(embeddings: DataFrame, threshold: float = 0.95,
+                              id_col: str = "vec_id",
+                              vec_col: str = "embedding",
+                              n_planes: int = 12, dim: int | None = None,
+                              seed: int = 42) -> DataFrame:
+    """Embedding-cosine near-dup pairs via one hyperplane bucket table
+    (high threshold → near-identical vectors land in the same bucket
+    with high probability); exact cosine verification."""
+    if dim is None:
+        dim = len(embeddings.select(vec_col).first()[0])
+    planes = _hyperplanes(dim, n_planes, seed)
+    sig = embeddings.select(
+        F.col(id_col).alias("doc_id"), F.col(vec_col).alias("vec")
+    ).withColumn("bucket", hyperplane_signature(F.col("vec"), planes))
+    l, r = sig.alias("l"), sig.alias("r")
+    cand = l.join(r, (F.col("l.bucket") == F.col("r.bucket"))
+                  & (F.col("l.doc_id") < F.col("r.doc_id"))) \
+            .select(F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b"),
+                    F.col("l.vec").alias("va"), F.col("r.vec").alias("vb"))
+    return (
+        cand.withColumn("cos", cosine(F.col("va"), F.col("vb")))
+        .filter(F.col("cos") >= threshold)
+        .select("a", "b", "cos")
+    )

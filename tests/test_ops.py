@@ -1,0 +1,143 @@
+"""Training-data ops over the driver testdata + planted-duplicate checks."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from pdf_extractor_spark.ops import dedup, multimodal, similarity, textstats
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    base = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # plant exact + near duplicates deterministically
+    exact = base.filter(F.col("doc_id") < 5).withColumn(
+        "doc_id", F.col("doc_id") + 1_000_000)
+    near = base.filter((F.col("doc_id") >= 5) & (F.col("doc_id") < 10)) \
+               .withColumn("doc_id", F.col("doc_id") + 2_000_000) \
+               .withColumn("text", F.concat(F.col("text"), F.lit(" extra tail")))
+    return base.unionByName(exact).unionByName(near).cache()
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+
+
+def test_exact_duplicates_found(docs):
+    groups = dedup.exact_duplicates(docs).collect()
+    planted = {g.canonical_id for g in groups if g.canonical_id < 5}
+    assert planted == {0, 1, 2, 3, 4}
+    for g in groups:
+        if g.canonical_id < 5:
+            assert g.canonical_id + 1_000_000 in g.members
+
+
+def test_minhash_lsh_finds_planted_near_dups(docs):
+    pairs = dedup.minhash_lsh_pairs(docs, threshold=0.6).collect()
+    found = {(p.a, p.b) for p in pairs}
+    # exact copies always found
+    for i in range(5):
+        assert (i, i + 1_000_000) in found
+    # near copies (small tail edit) found with high jaccard
+    near_hits = [p for p in pairs if 5 <= p.a < 10 and p.b == p.a + 2_000_000]
+    assert len(near_hits) >= 4
+    assert all(p.jaccard > 0.6 for p in near_hits)
+
+
+def test_simhash_finds_planted_near_dups(docs):
+    pairs = dedup.simhash_pairs(docs, max_hamming=3).collect()
+    found = {(p.a, p.b) for p in pairs}
+    for i in range(5):
+        assert (i, i + 1_000_000) in found
+
+
+def test_ngram_jaccard_pairs(docs):
+    pairs = dedup.ngram_jaccard_pairs(
+        docs.filter((F.col("doc_id") < 20) | (F.col("doc_id") >= 1_000_000)),
+        threshold=0.9).collect()
+    found = {(p.a, p.b) for p in pairs}
+    for i in range(5):
+        assert (i, i + 1_000_000) in found
+
+
+def test_cosine_topk_exact_and_lsh_agree(embeddings):
+    queries = embeddings.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_vec"))
+    exact = similarity.cosine_topk(embeddings, queries, k=5)
+    rows = exact.collect()
+    assert len(rows) == 25
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, rs in by_q.items():
+        cs = [r.cos for r in sorted(rs, key=lambda r: r.rank)]
+        assert cs == sorted(cs, reverse=True)
+        assert all(-1.001 <= c <= 1.001 for c in cs)
+
+    # LSH recall: true NNs here are weak (cos≈0.35 → ~67°), so use many
+    # short tables (16×4 → expected recall@1 ≈ 0.94 at these angles)
+    approx = similarity.lsh_topk(embeddings, queries, k=5,
+                                 n_tables=16, n_planes=4)
+    arows = approx.collect()
+    exact_top1 = {r.query_id: r.neighbor_id for r in rows if r.rank == 1}
+    a_top1 = {r.query_id: r.neighbor_id for r in arows if r.rank == 1}
+    hits = sum(exact_top1[q] == a_top1.get(q) for q in exact_top1)
+    assert hits >= 3  # recall@1 ≥ 0.6 on 5 queries
+
+
+def test_embedding_near_duplicates_planted(embeddings, spark):
+    # plant a near-identical copy of vec 0
+    import numpy as np
+    base = embeddings.filter(F.col("vec_id") == 0).first()
+    v = np.array(base.embedding, dtype=np.float32)
+    v2 = (v + 1e-4).tolist()
+    extra = spark.createDataFrame([(999_000, v2, 0)],
+                                  "vec_id long, embedding array<float>, label int")
+    aug = embeddings.unionByName(extra)
+    pairs = similarity.embedding_near_duplicates(aug, threshold=0.999)
+    found = {(p.a, p.b) for p in pairs.collect()}
+    assert (0, 999_000) in found
+
+
+def test_textstats(docs):
+    feats = textstats.quality_features(docs.limit(50))
+    rows = feats.collect()
+    assert all(0.0 <= r.quality_score <= 1.0 for r in rows)
+    assert all(r.n_tokens >= 0 for r in rows)
+
+    lid = textstats.lang_id(docs.limit(200)).collect()
+    assert {r.lang_pred for r in lid} <= {"pt", "en", "und"}
+
+    fp = textstats.fingerprint(docs.limit(50)).collect()
+    assert all(len(r.exact_fp) == 32 for r in fp)
+
+    tc = docs.limit(20).select(
+        "doc_id", "text", textstats.token_count(F.col("text")).alias("tc"),
+        textstats.bpe_ish_token_count(F.col("text")).alias("btc")).collect()
+    for r in tc:
+        assert r.tc == len(r.text.split()), r.doc_id
+        assert r.btc >= r.tc
+
+
+def test_multimodal_plumbing(docs, spark):
+    media = multimodal.synth_media_table(spark, docs.limit(60))
+    feats = multimodal.extract_features(media, dim=8)
+    rows = feats.collect()
+    assert len(rows) == 60
+    assert all(r.decode_ok for r in rows)
+    assert all(len(r.feature) == 8 for r in rows)
+    for r in rows:
+        assert math.isclose(sum(x * x for x in r.feature), 1.0, rel_tol=1e-3)
+    # determinism: same payload → same feature
+    again = {r.doc_id: r.feature for r in
+             multimodal.extract_features(media, dim=8).collect()}
+    for r in rows:
+        assert again[r.doc_id] == r.feature
+
+    plan = multimodal.frame_sample_plan(media, every_ms=60_000)
+    n_videos = media.filter(F.col("media_type") == "video").count()
+    assert plan.select("doc_id").distinct().count() == n_videos

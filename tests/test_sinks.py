@@ -1,0 +1,70 @@
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import functions as F
+
+from pdf_extractor_spark import datagen
+from pdf_extractor_spark.engine2 import pipeline as e2
+from pdf_extractor_spark.sinks import audit, merge, resume
+
+
+def test_merge_if_empty_semantics(spark):
+    target = spark.createDataFrame(
+        [("p1", "A", 10.0), ("p1", "B", None), ("p2", "A", 0.0)],
+        "period string, col string, value double",
+    )
+    updates = spark.createDataFrame(
+        [("p1", "A", 99.0), ("p1", "B", 7.0), ("p2", "A", 5.0), ("p3", "C", 1.0)],
+        "period string, col string, value double",
+    )
+    out = {(r.period, r.col): r.value
+           for r in merge.merge_if_empty(target, updates, ["period", "col"]).collect()}
+    assert out[("p1", "A")] == 10.0   # non-empty target wins
+    assert out[("p1", "B")] == 7.0    # null filled
+    assert out[("p2", "A")] == 5.0    # zero filled
+    assert out[("p3", "C")] == 1.0    # inserted
+
+
+def test_merge_idempotent(spark, tmp_path):
+    """Second MERGE run changes nothing (reference fill-if-empty)."""
+    target = spark.createDataFrame(
+        [("p1", "A", None)], "period string, col string, value double")
+    updates = spark.createDataFrame(
+        [("p1", "A", 3.0)], "period string, col string, value double")
+    once = merge.merge_if_empty(target, updates, ["period", "col"])
+    p = str(tmp_path / "t1")
+    once.write.parquet(p)
+    again = merge.merge_if_empty(spark.read.parquet(p), updates,
+                                 ["period", "col"])
+    assert sorted(once.collect()) == sorted(again.collect())
+
+
+def test_audit_partition_summary(spark):
+    pdf = datagen.corpus_pandas(40)
+    pages = spark.createDataFrame(pdf)
+    met = e2.metrics_table(e2.extract_ficha(pages))
+    a = audit.build_audit(met, run_id="r1")
+    assert {"run_id", "partition_id", "audit_ts"} <= set(a.columns)
+    summ = audit.partition_summary(a).collect()
+    assert sum(r.docs for r in summ) == met.count()
+    assert all(r.run_id == "r1" for r in summ)
+
+
+def test_resume_manifest_roundtrip(spark, tmp_path):
+    pages = spark.createDataFrame(datagen.corpus_pandas(30))
+    mpath = str(tmp_path / f"manifest_{uuid.uuid4().hex}")
+
+    first = resume.filter_resumable(pages, mpath)
+    assert first.count() == 30  # no manifest yet → everything
+
+    half = pages.filter(F.xxhash64("url") % 2 == 0)
+    resume.update_manifest(half.select("url"), mpath, run_id="r1")
+
+    second = resume.filter_resumable(pages, mpath)
+    assert second.count() == 30 - half.count()
+    # processed set and remainder are disjoint and cover everything
+    assert second.join(half, "url", "inner").count() == 0
+
+    resume.update_manifest(second.select("url"), mpath, run_id="r2")
+    assert resume.filter_resumable(pages, mpath).count() == 0
