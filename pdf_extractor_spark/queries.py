@@ -1,0 +1,762 @@
+"""Driver-contract query registry: every implemented operator from
+SURVEY.md §2 (plus the corpus-curation ops) as a (Spark callable,
+DuckDB oracle SQL) pair over the testdata tables.
+
+Conventions for hash parity with the driver's DuckDB compare:
+* every computed column is aliased identically on both sides;
+* float aggregates are ROUND()ed (sum order differs between engines at
+  ~1e-13 relative — rounding makes the hash stable);
+* timestamps are emitted as epoch microseconds (unix_micros/epoch_us);
+* int widths are cast explicitly where the engines' defaults differ.
+
+Engine-pipeline queries (synthetic pages corpus) have no SQL oracle —
+DuckDB only sees the testdata views — and rely on the pytest oracle
+(tests/test_engine{1,2}.py) for correctness; the driver records a
+rows-only check for them.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def q(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLES[name] = sql
+        return fn
+    return deco
+
+
+def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# Aggregations (SURVEY §2.5)
+# ---------------------------------------------------------------------------
+
+@q("q1_pricing_summary", """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2)                            AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2)                       AS sum_base,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)    AS sum_disc,
+       ROUND(AVG(l_quantity), 4)                            AS avg_qty,
+       COUNT(*)                                             AS n_rows
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1997-09-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""")
+def q1_pricing_summary(spark, sf_dir):
+    li = T(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= "1997-09-01 00:00:00")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+            .alias("sum_disc"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+@q("a2_indice_fallback", """
+SELECT l_returnflag,
+       ROUND(SUM(CASE WHEN l_discount <> 0 THEN l_discount ELSE l_tax END), 4)
+           AS used_total,
+       COUNT(*) AS n_rows
+FROM lineitem GROUP BY l_returnflag
+""")
+def a2_indice_fallback(spark, sf_dir):
+    # A2 shape: prefer field A when non-zero else fall back to field B
+    li = T(spark, sf_dir, "lineitem")
+    used = F.when(F.col("l_discount") != 0, F.col("l_discount")).otherwise(
+        F.col("l_tax"))
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.sum(used), 4).alias("used_total"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+@q("a3_sum_when_together", """
+SELECT o_custkey, COUNT(*) AS n_orders, ROUND(SUM(o_totalprice), 2) AS total
+FROM orders GROUP BY o_custkey HAVING COUNT(*) > 1
+""")
+def a3_sum_when_together(spark, sf_dir):
+    # A3 shape: same key appears more than once in a period → SUM + flag
+    o = T(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(F.count("*").alias("n_orders"),
+             F.round(F.sum("o_totalprice"), 2).alias("total"))
+        .filter(F.col("n_orders") > 1)
+    )
+
+
+@q("a4_description_duplicates", """
+SELECT o_custkey, o_orderpriority, COUNT(*) AS n
+FROM orders GROUP BY o_custkey, o_orderpriority HAVING COUNT(*) > 1
+""")
+def a4_description_duplicates(spark, sf_dir):
+    o = T(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey", "o_orderpriority")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") > 1)
+    )
+
+
+@q("a5_coalesce_fallback", """
+SELECT l_orderkey,
+       COALESCE(NULLIF(ROUND(SUM(CASE WHEN l_returnflag = 'R'
+                                      THEN l_quantity END), 2), 0),
+                NULLIF(ROUND(SUM(CASE WHEN l_returnflag = 'A'
+                                      THEN l_quantity END), 2), 0)) AS b_value
+FROM lineitem GROUP BY l_orderkey
+HAVING b_value IS NOT NULL
+""")
+def a5_coalesce_fallback(spark, sf_dir):
+    # A5 shape: preferred measure, else fallback measure (13º-salário)
+    li = T(spark, sf_dir, "lineitem")
+    v301 = F.round(F.sum(F.when(F.col("l_returnflag") == "R",
+                                F.col("l_quantity"))), 2)
+    v101 = F.round(F.sum(F.when(F.col("l_returnflag") == "A",
+                                F.col("l_quantity"))), 2)
+    return (
+        li.groupBy("l_orderkey")
+        .agg(F.coalesce(F.nullif(v301, F.lit(0.0)),
+                        F.nullif(v101, F.lit(0.0))).alias("b_value"))
+        .filter(F.col("b_value").isNotNull())
+    )
+
+
+@q("a6_ratio_adjustment", """
+WITH pv AS (
+  SELECT user_id,
+         ROUND(SUM(CASE WHEN event_type = 'view' THEN value END), 6) AS comp,
+         ROUND(SUM(CASE WHEN event_type = 'purchase' THEN value END), 6) AS valor
+  FROM events GROUP BY user_id)
+SELECT user_id, comp, valor, ROUND(valor * 100 / comp, 6) AS additional
+FROM pv WHERE comp IS NOT NULL AND comp <> 0 AND valor IS NOT NULL
+""")
+def a6_ratio_adjustment(spark, sf_dir):
+    # A6 shape: valor / (comp/100) vacation-adjustment arithmetic
+    e = T(spark, sf_dir, "events")
+    pv = e.groupBy("user_id").agg(
+        F.round(F.sum(F.when(F.col("event_type") == "view", F.col("value"))), 6)
+        .alias("comp"),
+        F.round(F.sum(F.when(F.col("event_type") == "purchase", F.col("value"))), 6)
+        .alias("valor"),
+    )
+    return (
+        pv.filter(F.col("comp").isNotNull() & (F.col("comp") != 0)
+                  & F.col("valor").isNotNull())
+        .withColumn("additional", F.round(F.col("valor") * 100 / F.col("comp"), 6))
+    )
+
+
+@q("a7_zero_fill_months", """
+WITH dim AS (
+  SELECT CAST(EXTRACT(year FROM m) AS INTEGER) AS year,
+         CAST(EXTRACT(month FROM m) AS INTEGER) AS month
+  FROM generate_series(DATE '1995-01-01', DATE '1996-12-01',
+                       INTERVAL '1 month') t(m)),
+agg AS (
+  SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS year,
+         CAST(EXTRACT(month FROM o_orderdate) AS INTEGER) AS month,
+         COUNT(*) AS n
+  FROM orders GROUP BY 1, 2)
+SELECT dim.year, dim.month, COALESCE(agg.n, 0) AS n_orders
+FROM dim LEFT JOIN agg ON dim.year = agg.year AND dim.month = agg.month
+""")
+def a7_zero_fill_months(spark, sf_dir):
+    # A7 shape: month-dimension LEFT JOIN + zero fill (broadcast dim)
+    o = T(spark, sf_dir, "orders")
+    dim = spark.sql(
+        """SELECT CAST(year(m) AS INT) AS year, CAST(month(m) AS INT) AS month
+           FROM (SELECT explode(sequence(to_date('1995-01-01'),
+                                         to_date('1996-12-01'),
+                                         interval 1 month)) AS m)"""
+    )
+    agg = o.groupBy(
+        F.year("o_orderdate").cast("int").alias("year"),
+        F.month("o_orderdate").cast("int").alias("month"),
+    ).agg(F.count("*").alias("n"))
+    return (
+        F.broadcast(dim).join(agg, ["year", "month"], "left")
+        .select("year", "month", F.coalesce("n", F.lit(0)).alias("n_orders"))
+    )
+
+
+@q("a8_any_nonzero_flag", """
+SELECT user_id,
+       MAX(CASE WHEN event_type = 'purchase' AND value <> 0
+                THEN 1 ELSE 0 END) AS has_nonzero_purchase
+FROM events GROUP BY user_id
+""")
+def a8_any_nonzero_flag(spark, sf_dir):
+    # A8 shape: global any(value != 0) drives output schema
+    e = T(spark, sf_dir, "events")
+    return e.groupBy("user_id").agg(
+        F.max(
+            F.when((F.col("event_type") == "purchase") & (F.col("value") != 0),
+                   1).otherwise(0)
+        ).alias("has_nonzero_purchase")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window functions (SURVEY §2.9)
+# ---------------------------------------------------------------------------
+
+@q("w1_lead_next", """
+SELECT l_suppkey, l_orderkey, l_linenumber,
+       LEAD(epoch_us(l_shipdate)) OVER (
+         PARTITION BY l_suppkey
+         ORDER BY l_shipdate, l_orderkey, l_linenumber) AS next_ship_us
+FROM lineitem
+""")
+def w1_lead_next(spark, sf_dir):
+    # W1 shape: y_end = next block's y_start (LEAD)
+    li = T(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_suppkey").orderBy(
+        "l_shipdate", "l_orderkey", "l_linenumber")
+    return li.select(
+        "l_suppkey", "l_orderkey", "l_linenumber",
+        F.lead(F.unix_micros(F.col("l_shipdate").cast("timestamp"))).over(w).alias("next_ship_us"),
+    )
+
+
+@q("w2_carry_forward", """
+SELECT event_id, user_id,
+       ROUND(LAST_VALUE(CASE WHEN event_type = 'click' THEN value END
+                        IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS carried
+FROM events
+""")
+def w2_carry_forward(spark, sf_dir):
+    # W2 shape: column-center carry-forward (LAST ignoreNulls)
+    e = T(spark, sf_dir, "events")
+    v = F.when(F.col("event_type") == "click", F.col("value"))
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return e.select(
+        "event_id", "user_id",
+        F.round(F.last(v, ignorenulls=True).over(w), 6).alias("carried"),
+    )
+
+
+@q("w3_last_write_wins", """
+SELECT user_id, event_type, event_id, ROUND(value, 6) AS last_value
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                               ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events) WHERE rn = 1
+""")
+def w3_last_write_wins(spark, sf_dir):
+    # W3/A1 shape: last-write-wins dedup
+    e = T(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", "event_id",
+                F.round("value", 6).alias("last_value"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins (SURVEY §2.6)
+# ---------------------------------------------------------------------------
+
+@q("j1_region_revenue", """
+SELECT r.r_name, COUNT(*) AS n_orders, ROUND(SUM(o.o_totalprice), 2) AS revenue
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name
+""")
+def j1_region_revenue(spark, sf_dir):
+    # J1 shape: broadcast dimension joins (nation/region are tiny)
+    o = T(spark, sf_dir, "orders")
+    c = T(spark, sf_dir, "customer")
+    n = T(spark, sf_dir, "nation")
+    r = T(spark, sf_dir, "region")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.count("*").alias("n_orders"),
+             F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+
+
+@q("j2_full_outer_series", """
+WITH c AS (SELECT CAST(EXTRACT(day FROM ts) AS INTEGER) AS day,
+                  ROUND(SUM(value), 4) AS click_total
+           FROM events WHERE event_type = 'click' GROUP BY 1),
+     v AS (SELECT CAST(EXTRACT(day FROM ts) AS INTEGER) AS day,
+                  ROUND(SUM(value), 4) AS view_total
+           FROM events WHERE event_type = 'view' GROUP BY 1)
+SELECT COALESCE(c.day, v.day) AS day,
+       COALESCE(c.click_total, 0) AS click_total,
+       COALESCE(v.view_total, 0) AS view_total
+FROM c FULL OUTER JOIN v ON c.day = v.day
+""")
+def j2_full_outer_series(spark, sf_dir):
+    # J2 shape: two sparse series full-outer joined (cartões writer)
+    e = T(spark, sf_dir, "events")
+    day = F.dayofmonth("ts").cast("int").alias("day")
+
+    def series(et, alias):
+        return (e.filter(F.col("event_type") == et).groupBy(day)
+                .agg(F.round(F.sum("value"), 4).alias(alias)))
+
+    c, v = series("click", "click_total"), series("view", "view_total")
+    return (
+        c.join(v, "day", "full_outer")
+        .select("day",
+                F.coalesce("click_total", F.lit(0.0)).alias("click_total"),
+                F.coalesce("view_total", F.lit(0.0)).alias("view_total"))
+    )
+
+
+@q("j5_band_join", """
+WITH tiers(tier, lo, hi) AS (
+  VALUES ('small', 1, 10), ('medium', 11, 25), ('large', 26, 50))
+SELECT t.tier, COUNT(*) AS n_parts, ROUND(AVG(p.p_retailprice), 4) AS avg_price
+FROM part p JOIN tiers t ON p.p_size BETWEEN t.lo AND t.hi
+GROUP BY t.tier
+""")
+def j5_band_join(spark, sf_dir):
+    # J5/J6 shape: non-equi band join (row bands / geometric bands)
+    p = T(spark, sf_dir, "part")
+    tiers = spark.createDataFrame(
+        [("small", 1, 10), ("medium", 11, 25), ("large", 26, 50)],
+        "tier string, lo int, hi int")
+    return (
+        p.join(F.broadcast(tiers),
+               (p.p_size >= tiers.lo) & (p.p_size <= tiers.hi))
+        .groupBy("tier")
+        .agg(F.count("*").alias("n_parts"),
+             F.round(F.avg("p_retailprice"), 4).alias("avg_price"))
+    )
+
+
+@q("j7_asof_join", """
+SELECT p_event_id, prior_click_id, prior_click_value FROM (
+  SELECT p.event_id AS p_event_id, c.event_id AS prior_click_id,
+         ROUND(c.value, 6) AS prior_click_value,
+         ROW_NUMBER() OVER (PARTITION BY p.event_id
+                            ORDER BY c.ts DESC, c.event_id DESC) AS rn
+  FROM events p JOIN events c
+    ON p.user_id = c.user_id AND c.ts <= p.ts AND c.event_type = 'click'
+  WHERE p.event_type = 'purchase') WHERE rn = 1
+""")
+def j7_asof_join(spark, sf_dir):
+    # J7/G7 shape: as-of / nearest-neighbour join (range + rank=1)
+    e = T(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").alias("p")
+    c = e.filter(F.col("event_type") == "click").alias("c")
+    joined = p.join(c, (F.col("p.user_id") == F.col("c.user_id"))
+                    & (F.col("c.ts") <= F.col("p.ts")))
+    w = Window.partitionBy("p.event_id").orderBy(
+        F.col("c.ts").desc(), F.col("c.event_id").desc())
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(F.col("p.event_id").alias("p_event_id"),
+                F.col("c.event_id").alias("prior_click_id"),
+                F.round(F.col("c.value"), 6).alias("prior_click_value"))
+    )
+
+
+@q("j4_pivot_codes", """
+SELECT user_id,
+       ROUND(COALESCE(SUM(CASE WHEN event_type = 'click' THEN value END), 0), 4)    AS click,
+       ROUND(COALESCE(SUM(CASE WHEN event_type = 'view' THEN value END), 0), 4)     AS view,
+       ROUND(COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN value END), 0), 4) AS purchase,
+       ROUND(COALESCE(SUM(CASE WHEN event_type = 'signup' THEN value END), 0), 4)   AS signup,
+       ROUND(COALESCE(SUM(CASE WHEN event_type = 'error' THEN value END), 0), 4)    AS error
+FROM events GROUP BY user_id
+""")
+def j4_pivot_codes(spark, sf_dir):
+    # J4 shape: multi-way code-series join as pivot
+    e = T(spark, sf_dir, "events")
+    piv = (e.groupBy("user_id")
+           .pivot("event_type", ["click", "view", "purchase", "signup", "error"])
+           .agg(F.sum("value")))
+    cols = [F.round(F.coalesce(F.col(c), F.lit(0.0)), 4).alias(c)
+            for c in ["click", "view", "purchase", "signup", "error"]]
+    return piv.select("user_id", *cols)
+
+
+# ---------------------------------------------------------------------------
+# Set ops / sorts / limits (SURVEY §2.7-2.8)
+# ---------------------------------------------------------------------------
+
+@q("u3_except_union", """
+SELECT custkey FROM (
+  SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+  EXCEPT
+  SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+)
+UNION
+SELECT c_custkey AS custkey FROM customer WHERE c_acctbal < 0
+""")
+def u3_except_union(spark, sf_dir):
+    # U3 shape: key-set EXCEPT then UNION (horas writer month sets)
+    o = T(spark, sf_dir, "orders")
+    c = T(spark, sf_dir, "customer")
+    urgent = (o.filter(F.col("o_orderpriority") == "1-URGENT")
+              .select(F.col("o_custkey").alias("custkey")).distinct())
+    failed = (o.filter(F.col("o_orderstatus") == "F")
+              .select(F.col("o_custkey").alias("custkey")).distinct())
+    neg = (c.filter(F.col("c_acctbal") < 0)
+           .select(F.col("c_custkey").alias("custkey")))
+    return urgent.subtract(failed).union(neg).distinct()
+
+
+@q("o5_topk_history", """
+SELECT event_id, epoch_us(ts) AS ts_us FROM events
+ORDER BY ts DESC, event_id DESC LIMIT 10
+""")
+def o5_topk_history(spark, sf_dir):
+    # O5 shape: history truncation top-k
+    e = T(spark, sf_dir, "events")
+    return (e.orderBy(F.col("ts").desc(), F.col("event_id").desc())
+            .select("event_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"))
+            .limit(10))
+
+
+@q("u1_union_keys", """
+SELECT user_id FROM events WHERE event_type = 'click'
+UNION
+SELECT user_id FROM events WHERE event_type = 'purchase'
+""")
+def u1_union_keys(spark, sf_dir):
+    e = T(spark, sf_dir, "events")
+    a = e.filter(F.col("event_type") == "click").select("user_id")
+    b = e.filter(F.col("event_type") == "purchase").select("user_id")
+    return a.union(b).distinct()
+
+
+# ---------------------------------------------------------------------------
+# Scalar/classifier operators (SURVEY §2.2-2.3)
+# ---------------------------------------------------------------------------
+
+@q("f1_classify_filter", """
+SELECT lang,
+       CASE WHEN text LIKE '%the%' THEN 'en-ish'
+            WHEN text LIKE '%de%' THEN 'pt-ish'
+            ELSE 'other' END AS text_class,
+       COUNT(*) AS n
+FROM documents GROUP BY 1, 2
+""")
+def f1_classify_filter(spark, sf_dir):
+    # F1 shape: ordered classifier chain + grouped counts
+    d = T(spark, sf_dir, "documents")
+    cls = (F.when(F.col("text").contains("the"), "en-ish")
+           .when(F.col("text").contains("de"), "pt-ish")
+           .otherwise("other"))
+    return (d.withColumn("text_class", cls)
+            .groupBy("lang", "text_class").agg(F.count("*").alias("n")))
+
+
+@q("c7_excel_serial_date", """
+SELECT p_partkey,
+       CAST(CASE WHEN p_size * 3 > 59
+                 THEN DATE '1899-12-30' + CAST(p_size * 3 AS INTEGER)
+                 ELSE DATE '1899-12-31' + CAST(p_size * 3 AS INTEGER)
+            END AS VARCHAR) AS excel_date
+FROM part
+""")
+def c7_excel_serial_date(spark, sf_dir):
+    # C7 shape: Excel serial decode incl. the 1900-leap-bug branch
+    p = T(spark, sf_dir, "part")
+    serial = (F.col("p_size") * 3).cast("int")
+    d = (F.when(serial > 59, F.date_add(F.to_date(F.lit("1899-12-30")), serial))
+         .otherwise(F.date_add(F.to_date(F.lit("1899-12-31")), serial)))
+    return p.select("p_partkey", d.cast("string").alias("excel_date"))
+
+
+@q("c8_period_label", """
+SELECT CASE CAST(EXTRACT(month FROM o_orderdate) AS INTEGER)
+         WHEN 1 THEN 'jan' WHEN 2 THEN 'fev' WHEN 3 THEN 'mar'
+         WHEN 4 THEN 'abr' WHEN 5 THEN 'mai' WHEN 6 THEN 'jun'
+         WHEN 7 THEN 'jul' WHEN 8 THEN 'ago' WHEN 9 THEN 'set'
+         WHEN 10 THEN 'out' WHEN 11 THEN 'nov' ELSE 'dez' END
+       || '/' || strftime(o_orderdate, '%y') AS period_label,
+       COUNT(*) AS n
+FROM orders GROUP BY 1
+""")
+def c8_period_label(spark, sf_dir):
+    # C8 shape: 'jan/25' period labels
+    o = T(spark, sf_dir, "orders")
+    abbrev = F.array(*[F.lit(x) for x in
+                       ["jan", "fev", "mar", "abr", "mai", "jun",
+                        "jul", "ago", "set", "out", "nov", "dez"]])
+    label = F.concat(F.element_at(abbrev, F.month("o_orderdate")),
+                     F.lit("/"), F.date_format("o_orderdate", "yy"))
+    return o.groupBy(label.alias("period_label")).agg(F.count("*").alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# Corpus-curation ops (dedup / text analysis / similarity)
+# ---------------------------------------------------------------------------
+
+_AUG = """
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id < 5
+"""
+
+
+@q("dedup_exact_hash", f"""
+WITH aug AS ({_AUG})
+SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS content_hash,
+       COUNT(*) AS n_dups, MIN(doc_id) AS canonical_id
+FROM aug GROUP BY 1 HAVING COUNT(*) > 1
+""")
+def dedup_exact_hash(spark, sf_dir):
+    """Exact dedup over the documents table + deterministically planted
+    duplicate copies of doc_id<5 (so the check is non-vacuous)."""
+    d = T(spark, sf_dir, "documents").select("doc_id", "text")
+    aug = d.unionByName(
+        d.filter(F.col("doc_id") < 5)
+        .withColumn("doc_id", F.col("doc_id") + 1000000))
+    norm = F.regexp_replace(F.lower(F.trim("text")), r"\s+", " ")
+    return (
+        aug.select(F.md5(norm).alias("content_hash"), "doc_id")
+        .groupBy("content_hash")
+        .agg(F.count("*").alias("n_dups"), F.min("doc_id").alias("canonical_id"))
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+@q("text_token_count", """
+SELECT doc_id,
+       CASE WHEN trim(text) = '' THEN 0
+            ELSE length(regexp_split_to_array(trim(text), '\\s+')) END
+         AS n_tokens,
+       length(text) AS n_chars_len
+FROM documents
+""")
+def text_token_count(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    t = F.trim("text")
+    n = (F.when(t == "", 0).otherwise(F.size(F.split(t, r"\s+"))))
+    return d.select("doc_id", n.cast("bigint").alias("n_tokens"),
+                    F.length("text").cast("bigint").alias("n_chars_len"))
+
+
+_PT = "de|da|do|que|em|para|com|uma|os|as|dos|das|no|na|por|se"
+_EN = "the|of|and|to|in|is|that|it|for|on|was|with|as|at|by|be|this"
+
+
+@q("text_lang_id", f"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '(?i)\\b({_PT})\\b')) AS pt_hits,
+       len(regexp_extract_all(text, '(?i)\\b({_EN})\\b')) AS en_hits,
+       CASE WHEN len(regexp_extract_all(text, '(?i)\\b({_PT})\\b')) = 0
+                 AND len(regexp_extract_all(text, '(?i)\\b({_EN})\\b')) = 0
+            THEN 'und'
+            WHEN len(regexp_extract_all(text, '(?i)\\b({_PT})\\b'))
+                 >= len(regexp_extract_all(text, '(?i)\\b({_EN})\\b'))
+            THEN 'pt' ELSE 'en' END AS lang_pred
+FROM documents
+""")
+def text_lang_id(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    pt = F.size(F.regexp_extract_all("text", F.lit(f"(?i)\\b({_PT})\\b"), F.lit(0)))
+    en = F.size(F.regexp_extract_all("text", F.lit(f"(?i)\\b({_EN})\\b"), F.lit(0)))
+    pred = (F.when((pt == 0) & (en == 0), "und")
+            .when(pt >= en, "pt").otherwise("en"))
+    return d.select("doc_id", pt.cast("bigint").alias("pt_hits"),
+                    en.cast("bigint").alias("en_hits"),
+                    pred.alias("lang_pred"))
+
+
+@q("text_quality_score", """
+SELECT doc_id,
+       ROUND(length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
+             / GREATEST(length(text), 1), 6) AS punct_ratio,
+       ROUND(length(regexp_replace(text, '[^0-9]', '', 'g'))
+             / GREATEST(length(text), 1), 6) AS digit_ratio,
+       ROUND(length(text)
+             / GREATEST(CASE WHEN trim(text) = '' THEN 0
+                        ELSE length(regexp_split_to_array(trim(text), '\\s+'))
+                        END, 1), 6) AS mean_word_len
+FROM documents
+""")
+def text_quality_score(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    n_chars = F.length("text")
+    t = F.trim("text")
+    n_tokens = F.when(t == "", 0).otherwise(F.size(F.split(t, r"\s+")))
+    n_punct = F.length(F.regexp_replace("text", r"[^.,;:!?]", ""))
+    n_digit = F.length(F.regexp_replace("text", r"[^0-9]", ""))
+    return d.select(
+        "doc_id",
+        F.round(n_punct / F.greatest(n_chars, F.lit(1)), 6).alias("punct_ratio"),
+        F.round(n_digit / F.greatest(n_chars, F.lit(1)), 6).alias("digit_ratio"),
+        F.round(n_chars / F.greatest(n_tokens, F.lit(1)), 6).alias("mean_word_len"),
+    )
+
+
+@q("text_fingerprint", """
+SELECT doc_id,
+       md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS exact_fp
+FROM documents
+""")
+def text_fingerprint(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.trim("text")), r"\s+", " ")
+    return d.select("doc_id", F.md5(norm).alias("exact_fp"))
+
+
+@q("sim_cosine_topk", """
+WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id < 5),
+     c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings),
+     scored AS (
+       SELECT q.query_id, c.neighbor_id,
+              ROUND(list_dot_product(q.qv, c.v)
+                    / (sqrt(list_dot_product(q.qv, q.qv))
+                       * sqrt(list_dot_product(c.v, c.v))), 9) AS cos
+       FROM q CROSS JOIN c WHERE q.query_id <> c.neighbor_id)
+SELECT query_id, neighbor_id, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored) WHERE rank <= 10
+""")
+def sim_cosine_topk(spark, sf_dir):
+    from .ops.similarity import cosine
+
+    emb = T(spark, sf_dir, "embeddings")
+    q_df = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
+    c_df = emb.select(F.col("vec_id").alias("neighbor_id"),
+                      F.col("embedding").alias("v"))
+    scored = (
+        c_df.crossJoin(F.broadcast(q_df))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", F.round(cosine(F.col("qv"), F.col("v")), 9))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 10)
+            .select("query_id", "neighbor_id", "rank"))
+
+
+# ---------------------------------------------------------------------------
+# Engine pipelines + non-SQL-expressible ops (rows-only driver check;
+# correctness pinned by the pytest oracle instead)
+# ---------------------------------------------------------------------------
+
+def _corpus_docs_for(sf_dir: str) -> int:
+    if "0.1" in sf_dir and "0.01" not in sf_dir and "0.001" not in sf_dir:
+        return 800
+    if "0.01" in sf_dir and "0.001" not in sf_dir:
+        return 200
+    return 60
+
+
+@q("extract_e2_proventos")
+def extract_e2_proventos(spark, sf_dir):
+    """Flagship Engine-2 pipeline: synthetic ficha corpus → vacation-
+    adjusted, zero-filled, byte-format PROVENTOS series per url."""
+    from .datagen import corpus_df
+    from .engine2 import pipeline as e2
+
+    pages = corpus_df(spark, _corpus_docs_for(sf_dir))
+    vals = e2.values_table(e2.extract_ficha(pages))
+    adj = e2.apply_vacation_adjustments_df(vals)
+    return e2.default_series_table(adj, "3123-Base", (2019, 1), (2021, 12))
+
+
+@q("extract_e1_values")
+def extract_e1_values(spark, sf_dir):
+    """Engine-1 pipeline: synthetic folha corpus → per-period rule values."""
+    from .datagen import corpus_df
+    from .engine1 import pipeline as e1
+
+    pages = corpus_df(spark, _corpus_docs_for(sf_dir))
+    values, _ = e1.extract_folha(pages)
+    return values.select(
+        "url", "folha_type", "year", "month", "excel_col",
+        F.col("value")["num"].alias("value_num"),
+        F.col("value")["txt"].alias("value_txt"),
+    )
+
+
+@q("extract_audit_metrics")
+def extract_audit_metrics(spark, sf_dir):
+    """Per-document lineage metrics (audit-table feed, both engines)."""
+    from .datagen import corpus_df
+    from .engine2 import pipeline as e2
+    from .sinks.audit import build_audit
+
+    pages = corpus_df(spark, _corpus_docs_for(sf_dir))
+    met = e2.metrics_table(e2.extract_ficha(pages))
+    return build_audit(met, run_id="driver-check").drop("audit_ts")
+
+
+@q("dedup_minhash_lsh")
+def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash+LSH near-dup pairs over documents + planted copies."""
+    from .ops.dedup import minhash_lsh_pairs
+
+    d = T(spark, sf_dir, "documents").select("doc_id", "text")
+    aug = d.unionByName(
+        d.filter(F.col("doc_id") < 5)
+        .withColumn("doc_id", F.col("doc_id") + 1000000))
+    pairs = minhash_lsh_pairs(aug, threshold=0.8)
+    return pairs.select("a", "b", F.round("jaccard", 6).alias("jaccard"))
+
+
+@q("dedup_simhash")
+def dedup_simhash(spark, sf_dir):
+    from .ops.dedup import simhash_pairs
+
+    d = T(spark, sf_dir, "documents").select("doc_id", "text")
+    aug = d.unionByName(
+        d.filter(F.col("doc_id") < 5)
+        .withColumn("doc_id", F.col("doc_id") + 1000000))
+    return simhash_pairs(aug, max_hamming=3)
+
+
+@q("sim_lsh_topk")
+def sim_lsh_topk(spark, sf_dir):
+    from .ops.similarity import lsh_topk
+
+    emb = T(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_vec"))
+    return lsh_topk(emb, queries, k=10, n_tables=16, n_planes=4).select(
+        "query_id", "neighbor_id", "rank")
+
+
+@q("multimodal_features")
+def multimodal_features(spark, sf_dir):
+    from .ops.multimodal import extract_features, synth_media_table
+
+    d = T(spark, sf_dir, "documents")
+    media = synth_media_table(spark, d)
+    return extract_features(media, dim=16)
