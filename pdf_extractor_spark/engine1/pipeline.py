@@ -44,25 +44,24 @@ def explode_pages(pages_df: DataFrame) -> DataFrame:
 def classify_pages(page_rows: DataFrame) -> DataFrame:
     """F1 classifier + C3 reference date. Keeps ALL pages (metrics need
     the dropped ones); downstream filters on folha_type/date."""
-    lines = F.split(F.col("page"), "\n")
-    tipo_lines = F.filter(lines, lambda ln: F.trim(ln).rlike(TIPO_RE))
-    # per tipo-line classification, first match wins (reference order:
-    # FOLHA NORMAL → 13 SALARIO → FÉRIAS/ADIANTAMENTO/RESCISÃO)
-    line_types = F.filter(
-        F.transform(
-            tipo_lines,
-            lambda ln: F.when(F.trim(ln).rlike(FN_RE), F.lit("FOLHA NORMAL"))
-            .when(F.trim(ln).rlike(SAL13_RE), F.lit("13 SALARIO"))
-            .when(F.trim(ln).rlike(IGN_RE), F.lit("IGNORAR")),
-        ),
-        lambda t: t.isNotNull(),
-    )
-    first_type = F.try_element_at(line_types, F.lit(1))
-    found_tipo = F.size(tipo_lines) > 0
-    header = F.array_join(F.slice(lines, 1, 10), "\n")
+    # First `Tipo da folha:` line via one multiline regexp (equivalent to
+    # the reference's line scan for real documents, which carry at most
+    # one tipo line per page; keeps the classifier small enough for
+    # whole-stage codegen — the array/lambda form blew the JVM's 64KB
+    # generated-method limit once duplicated into the explode stage).
+    tipo_line = F.regexp_extract(
+        F.col("page"), r"(?iU)[^\n]*Tipo\s+da\s+folha\s*:[^\n]*", 0)
+    header = F.array_join(F.slice(F.split(F.col("page"), "\n"), 1, 10), "\n")
 
     folha_type = (
-        F.when(found_tipo, first_type)  # unmatched tipo → null → dropped
+        F.when(
+            tipo_line != "",
+            # reference order per line: FOLHA NORMAL → 13 SALARIO → IGNORAR;
+            # unmatched tipo line → null → page dropped
+            F.when(tipo_line.rlike(FN_RE), F.lit("FOLHA NORMAL"))
+            .when(tipo_line.rlike(SAL13_RE), F.lit("13 SALARIO"))
+            .when(tipo_line.rlike(IGN_RE), F.lit("IGNORAR")),
+        )
         .when(header.rlike(SAL13_RE), F.lit("13 SALARIO"))
         .when(header.rlike(IGN_HDR_RE), F.lit("IGNORAR"))
         .otherwise(F.lit("FOLHA NORMAL"))
@@ -98,20 +97,26 @@ def matched_lines(classified: DataFrame) -> DataFrame:
         F.posexplode(F.split("page", "\n")).alias("line_pos", "raw_line"),
     ).withColumn("line", F.trim("raw_line")).filter(F.col("line") != "")
 
-    joined = lines.join(
+    return lines.join(
         rules,
         (lines["folha_type"] == rules["folha_type"])
         & lines["line"].contains(rules["code"]),
         "inner",
     ).drop(rules["folha_type"])
 
+
+def parse_line_numbers(ml: DataFrame) -> DataFrame:
+    """C1/C2 on matched lines. Kept as a separate projection applied
+    AFTER the (url, page) exchange: the two parse structs are large
+    when-chains and inlining them into the explode+join stage blows the
+    JVM 64KB generated-method limit (interpreted fallback ~3× slower)."""
     toks = F.regexp_extract_all("line", F.lit(NUM_TOKEN_RE), F.lit(0))
-    joined = joined.withColumn("toks", toks)
+    ml = ml.withColumn("toks", toks)
     indice = F.when(F.size("toks") >= 2,
                     to_float_robust_struct(F.element_at("toks", -2)))
     valor = F.when(F.size("toks") >= 1,
                    to_float_robust_struct(F.element_at("toks", -1)))
-    return joined.withColumns({"indice": indice, "valor": valor}).drop("toks")
+    return ml.withColumns({"indice": indice, "valor": valor}).drop("toks")
 
 
 def _nonzero(v) -> F.Column:
@@ -149,7 +154,25 @@ def extract_folha(pages_df: DataFrame) -> tuple[DataFrame, DataFrame]:
                    codes array<string>, excel_col)
     """
     classified = classify_pages(explode_pages(pages_df))
-    ml = matched_lines(classified).withColumn("use", _value_to_use())
+    # Explicit (url, page)-hash repartition (north-rule partitioning):
+    # one exchange that (a) materializes the parsed indice/valor structs
+    # so `use` references columns instead of re-inlining the big parse
+    # expressions (which blows the JVM 64KB codegen-method limit and
+    # forces interpreted fallback), and (b) clusters rows for ALL the
+    # downstream page-level windows — (url,page) distribution satisfies
+    # every window's partitionBy, so no further shuffles are needed.
+    n_part = pages_df.sparkSession.sparkContext.defaultParallelism
+    ml = parse_line_numbers(
+        matched_lines(classified).repartition(n_part, "url", "page_idx")
+    ).withColumn("use", _value_to_use())
+    # Persist: three downstream branches (normal/sumable/13º) read this
+    # table — without it each branch re-runs the explode+join pipeline,
+    # and per-branch filter pushdown through the exchange re-inlines the
+    # big parse expressions into the explode stage (64KB codegen blowup
+    # → interpreted fallback). MEMORY_AND_DISK so it spills at scale.
+    from pyspark import StorageLevel
+
+    ml = ml.persist(StorageLevel.MEMORY_AND_DISK)
 
     pkey = ["url", "page_idx", "folha_type", "year", "month"]
 
