@@ -1,0 +1,109 @@
+"""spark-submit entry point: the full extraction job, end to end.
+
+    spark-submit --py-files pdf_extractor_spark.zip jobs.py \
+        --pages /path/to/pages_parquet --out /path/to/out \
+        --run-id r42 [--resume] [--start 2019-01 --end 2021-12] \
+        [--minutes-mode]
+
+Stages (north-rule shape):
+  read pages table → resume filter (manifest anti-join) →
+  Engine-1 (Catalyst line/regex path) + Engine-2 (Arrow layout kernel) →
+  vacation adjustment → output series tables →
+  fill-if-empty MERGE into the keyed target →
+  audit/lineage append → manifest append.
+
+Everything is idempotent: re-running with --resume processes only new
+urls; the keyed sink never overwrites non-empty cells.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from pdf_extractor_spark.engine1 import pipeline as e1  # noqa: E402
+from pdf_extractor_spark.engine2 import pipeline as e2  # noqa: E402
+from pdf_extractor_spark.session import get_spark  # noqa: E402
+from pdf_extractor_spark.sinks import audit, merge, resume  # noqa: E402
+
+
+def parse_period(s: str) -> tuple[int, int]:
+    y, m = s.split("-")
+    return int(y), int(m)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--pages", required=True)
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--run-id", required=True)
+    ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--start", default="2019-01")
+    ap.add_argument("--end", default="2021-12")
+    ap.add_argument("--minutes-mode", action="store_true")
+    args = ap.parse_args()
+
+    spark = get_spark(f"extract-{args.run_id}")
+    out = args.out.rstrip("/")
+    manifest = f"{out}/manifest"
+    start, end = parse_period(args.start), parse_period(args.end)
+
+    pages = spark.read.parquet(args.pages)
+    if args.resume:
+        pages = resume.filter_resumable(pages, manifest)
+    pages = pages.persist()
+    if pages.limit(1).count() == 0:
+        print(f"[{args.run_id}] nothing to process (resume manifest covers input)")
+        return
+
+    # ---- Engine 1 ------------------------------------------------------
+    e1_values, e1_attention = e1.extract_folha(pages)
+    e1_flat = e1_values.select(
+        "url", "folha_type", "year", "month", "excel_col",
+        F.coalesce(F.col("value")["txt"],
+                   F.col("value")["num"].cast("string")).alias("value"),
+    )
+    # keyed fill-if-empty sink (Excel-cell semantics on a parquet table)
+    target_path = f"{out}/e1_target"
+    try:
+        target = spark.read.parquet(target_path)
+    except Exception:
+        target = e1_flat.limit(0)
+    merged = merge.merge_if_empty(
+        target, e1_flat,
+        keys=["url", "folha_type", "year", "month", "excel_col"])
+    merged.write.mode("overwrite").parquet(f"{target_path}_new")
+    e1_attention.write.mode("append").parquet(f"{out}/e1_attention")
+
+    # ---- Engine 2 ------------------------------------------------------
+    long_df = e2.extract_ficha(pages).persist()
+    vals = e2.apply_vacation_adjustments_df(e2.values_table(long_df))
+    e2.default_series_table(vals, "3123-Base", start, end) \
+        .write.mode("append").parquet(f"{out}/proventos")
+    e2.default_series_table(vals, "8-Insalubridade", start, end) \
+        .write.mode("append").parquet(f"{out}/insalubridade")
+    e2.cartoes_table(vals, start, end, minutes_mode=args.minutes_mode) \
+        .write.mode("append").parquet(f"{out}/cartoes")
+    e2.horas_trabalhadas_table(vals, start, end,
+                               minutes_mode=args.minutes_mode) \
+        .write.mode("append").parquet(f"{out}/horas_trabalhadas")
+
+    # ---- lineage + resume ----------------------------------------------
+    classified = e1.classify_pages(e1.explode_pages(pages))
+    audit.write_audit(e1.page_metrics(classified), f"{out}/audit_e1",
+                      args.run_id)
+    audit.write_audit(e2.metrics_table(long_df), f"{out}/audit_e2",
+                      args.run_id)
+    resume.update_manifest(pages.select("url"), manifest, args.run_id)
+
+    n = pages.count()
+    print(f"[{args.run_id}] processed {n} documents → {out}")
+
+
+if __name__ == "__main__":
+    main()

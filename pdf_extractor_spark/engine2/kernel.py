@@ -185,28 +185,75 @@ def _norm_prefix(prefix: str) -> str:
     return got
 
 
-def _extract_doc(url: str, html, text: str) -> tuple[list, list]:
-    """One document → (value rows, metrics row-values)."""
-    decode_failures = 0
-    try:
-        page_h, raw_pages = decode_layout(html)
-    except Exception:
-        page_h, raw_pages = 0.0, []
-        decode_failures += 1
+class PageRunState:
+    """Cross-page carry state (G2 centers + G5 pending blocks).
 
-    values: dict[str, dict[tuple[int, int], str]] = {}
-    conflicts = 0
-    carry_expired = 0
+    Serializable (to_json/from_json) so the salted oversized-document
+    path can hand state across chunk boundaries (engine2/salted.py)."""
 
-    pending: list[dict] = []      # G5 cross-page carry state
-    last_comp: list[float] = []   # G2 center carry
-    last_valor: list[float] = []
+    __slots__ = ("comp", "valor", "pending")
 
-    for words in raw_pages:
+    def __init__(self, comp=None, valor=None, pending=None):
+        self.comp = list(comp or [])
+        self.valor = list(valor or [])
+        self.pending = list(pending or [])
+
+    def to_json(self) -> str:
+        import json
+
+        return json.dumps({
+            "comp": self.comp, "valor": self.valor,
+            "pending": [
+                {"year": st["block"]["year"],
+                 "months": [list(m) for m in st["block"]["months"]],
+                 "carry": st["carry"]}
+                for st in self.pending
+            ],
+        })
+
+    @classmethod
+    def from_json(cls, s: str) -> "PageRunState":
+        import json
+
+        d = json.loads(s)
+        pending = [
+            {"block": dict(year=p["year"],
+                           months=[tuple(m) for m in p["months"]],
+                           y_start=0.0, y_end=0.0),
+             "carry": p["carry"]}
+            for p in d["pending"]
+        ]
+        return cls(d["comp"], d["valor"], pending)
+
+
+def run_pages(raw_pages: list, page_h: float, state: PageRunState,
+              page_offset: int = 0) -> tuple[list, PageRunState, int | None]:
+    """Core page loop (G1-G7 + A1 event stream).
+
+    Emits an ordered event list — ('v', storage_code, year, month,
+    value_str, global_page, seq) for every value assignment (the A1
+    last-write-wins fold and conflict count happen over this stream) and
+    ('x', global_page) for every expired carry — so the salted path can
+    merge chunk streams relationally with exact reference semantics.
+
+    Returns (events, end_state, first_full_header): the latter is the
+    first local page index carrying BOTH its own Comp. and Valor header
+    words — pages before it depend on carried-in centers (the stitch
+    horizon used by engine2/salted.py).
+    """
+    events: list = []
+    seq = 0
+    pending = state.pending
+    last_comp, last_valor = state.comp, state.valor
+    first_full_header: int | None = None
+
+    for pi, words in enumerate(raw_pages):
         if not words:
             continue
         pg = _Page(words)
         comp, valor = _column_centers(pg)
+        if comp and valor and first_full_header is None:
+            first_full_header = pi
         if comp:
             last_comp = comp
         else:
@@ -255,21 +302,54 @@ def _extract_doc(url: str, html, text: str) -> tuple[list, list]:
                         continue
                     has_vals = True
                     storage = alias or code
-                    tgt = values.setdefault(storage, {})
-                    for key, vs in got:
-                        old = tgt.get(key)
-                        if old is not None and old != vs and \
-                                Decimal(old) != Decimal(vs):
-                            conflicts += 1  # A1 conflict metric (:498-506)
-                        tgt[key] = vs
+                    for (y, m), vs in got:
+                        events.append(("v", storage, y, m, vs,
+                                       page_offset + pi, seq))
+                        seq += 1
 
             if not has_vals:
                 nc = st["carry"] + 1
                 if nc <= MAX_BLOCK_CARRY:
                     nxt_pending.append(dict(block=st["block"], carry=nc))
                 else:
-                    carry_expired += 1
+                    events.append(("x", None, None, None, None,
+                                   page_offset + pi, seq))
+                    seq += 1
         pending = nxt_pending
+
+    return events, PageRunState(last_comp, last_valor, pending), first_full_header
+
+
+def fold_events(events: list) -> tuple[dict, int, int]:
+    """A1 fold: last-write-wins per (code, year, month) in event order,
+    counting overwrites with a different Decimal value (reference
+    :498-506) and expired carries (:508-522)."""
+    values: dict[str, dict[tuple[int, int], str]] = {}
+    conflicts = 0
+    carry_expired = 0
+    for kind, code, y, m, vs, _gpage, _seq in events:
+        if kind == "x":
+            carry_expired += 1
+            continue
+        tgt = values.setdefault(code, {})
+        old = tgt.get((y, m))
+        if old is not None and old != vs and Decimal(old) != Decimal(vs):
+            conflicts += 1
+        tgt[(y, m)] = vs
+    return values, conflicts, carry_expired
+
+
+def _extract_doc(url: str, html, text: str) -> tuple[list, list]:
+    """One document → (value rows, metrics row-values)."""
+    decode_failures = 0
+    try:
+        page_h, raw_pages = decode_layout(html)
+    except Exception:
+        page_h, raw_pages = 0.0, []
+        decode_failures += 1
+
+    events, _state, _ffh = run_pages(raw_pages, page_h, PageRunState())
+    values, conflicts, carry_expired = fold_events(events)
 
     rows = []
     for code in sorted(values):

@@ -48,7 +48,15 @@ def extract_ficha(pages_df: DataFrame, with_layout_only: bool = True) -> DataFra
     df = pages_df.select("url", "html", "text")
     if with_layout_only:
         df = df.filter(F.length("html") > 0)
-    return df.mapInPandas(extract_ficha_long, schema=E2_LONG_SCHEMA)
+    # Round-robin repartition before the kernel: documents are
+    # independent rows, so this both guarantees parallelism = cores
+    # (regardless of input file layout) and evens out the long-tail
+    # document-size skew across tasks. For truly oversized documents use
+    # engine2.salted.extract_ficha_salted (page-range split + exact
+    # carry-state handoff).
+    n_part = pages_df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n_part).mapInPandas(
+        extract_ficha_long, schema=E2_LONG_SCHEMA)
 
 
 def values_table(long_df: DataFrame) -> DataFrame:

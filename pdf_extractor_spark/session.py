@@ -40,9 +40,15 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.ui.enabled", "false")
-        # parquet scan sizing for the 100 TB target: 128 MiB splits keep
-        # partitions memory-friendly; irrelevant at test SF but explicit.
-        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # Scan-split sizing. At the 100 TB target with ~128 MiB row
+        # groups the default 128 MiB split is right; at local test SF the
+        # corpus is a few MB of tiny files and the default bins the whole
+        # scan into a handful of partitions, capping parallelism below
+        # the core count — so size splits small here. (Measured: Engine-1
+        # throughput stopped scaling past ~8 cores until this change.)
+        .config("spark.sql.files.maxPartitionBytes",
+                os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "8388608"))
+        .config("spark.sql.files.openCostInBytes", "262144")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
