@@ -1,0 +1,67 @@
+"""Physical-plan shape assertions: the optimizations we claim must be
+visible in `.explain` output — pushdown/pruning at the scan, broadcast
+on small sides, no stray shuffles in the kernels."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pdf_extractor_spark import queries as Q
+from pdf_extractor_spark.engine2 import pipeline as e2
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _formatted(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted")
+
+
+def test_scan_column_pruning_and_filter_pushdown(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    df = (li.filter(F.col("l_shipdate") <= "1997-09-01")
+          .select("l_orderkey", "l_extendedprice"))
+    plan = _formatted(df)
+    # only the needed columns reach the scan; the filter is pushed down
+    assert "l_quantity" not in plan.split("ReadSchema")[-1]
+    assert "PushedFilters" in plan
+    assert "l_shipdate" in plan.split("PushedFilters")[-1].split("\n")[0]
+
+
+def test_rules_join_is_broadcast(spark, sf_dir):
+    from pdf_extractor_spark import datagen
+    from pdf_extractor_spark.engine1 import pipeline as e1
+
+    pages = spark.createDataFrame(datagen.corpus_pandas(8))
+    ml = e1.matched_lines(e1.classify_pages(e1.explode_pages(pages)))
+    plan = _plan(ml)
+    assert "Broadcast" in plan  # 13-rule dimension broadcast, no shuffle join
+
+
+def test_dimension_joins_broadcast(spark, sf_dir):
+    plan = _plan(Q.QUERIES["j1_region_revenue"](spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 3  # customer/nation/region
+
+
+def test_e2_kernel_is_shuffle_free(spark):
+    from pdf_extractor_spark import datagen
+
+    pages = spark.createDataFrame(datagen.corpus_pandas(8))
+    long_df = e2.extract_ficha(pages)
+    plan = _plan(long_df)
+    # one round-robin repartition before the kernel, nothing keyed —
+    # no aggregation/join shuffles inside the extraction itself
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Exchange") <= 2
+
+
+def test_zero_fill_dim_is_broadcast(spark):
+    from pdf_extractor_spark import datagen
+
+    pages = spark.createDataFrame(datagen.corpus_pandas(8))
+    vals = e2.values_table(e2.extract_ficha(pages))
+    ser = e2.series_for_code(vals, "3123-Base", (2019, 1), (2019, 12))
+    assert "BroadcastNestedLoopJoin" in _plan(ser) or \
+        "BroadcastHashJoin" in _plan(ser)
