@@ -72,58 +72,67 @@ E2_LONG_SCHEMA = (
 METRICS_CODE = "__metrics__"
 
 
-def _normalize_codes(texts: pd.Series) -> pd.Series:
-    """Vectorized code-text normalization (reference :630-633):
-    NFKD, NBSP→space, U+2011/U+2013→'-', strip all whitespace."""
-    s = texts.str.normalize("NFKD")
-    s = s.str.replace("\xa0", " ", regex=False)
-    s = s.str.replace("‑", "-", regex=False).str.replace("–", "-", regex=False)
-    return s.str.replace(WS_RE, "", regex=True)
+def _norm_one(t: str) -> str:
+    """Code-text normalization (reference :630-633): NFKD, NBSP→space,
+    U+2011/U+2013→'-', strip all whitespace. ASCII fast path — pages are
+    overwhelmingly ASCII tokens and full NFKD per word dominated the
+    kernel profile."""
+    if t.isascii():
+        return WS_RE.sub("", t) if " " in t or "\t" in t else t
+    import unicodedata
+
+    s = unicodedata.normalize("NFKD", t).replace("\xa0", " ")
+    s = s.replace("‑", "-").replace("–", "-")
+    return WS_RE.sub("", s)
 
 
 class _Page:
-    """Columnar view of one page's word boxes + precomputed masks."""
+    """Per-page word-box view: plain lists for the scalar hot paths
+    (rows are ~10 words once grouped by line key — python scalars beat
+    numpy indexing there), numpy only where whole-page vector math wins
+    (G3 sorting)."""
 
     __slots__ = ("texts", "norm", "x0", "x1", "top", "bottom", "line_key",
-                 "cy", "cx", "is_num", "n")
+                 "cy", "cx", "is_num", "n", "key_groups")
 
     def __init__(self, words: list) -> None:
         n = len(words)
         self.n = n
-        texts = pd.Series([w[0] for w in words], dtype="object")
-        self.texts = texts.to_numpy()
-        self.norm = _normalize_codes(texts).to_numpy()
-        self.x0 = np.fromiter((w[1] for w in words), float, n)
-        self.x1 = np.fromiter((w[2] for w in words), float, n)
-        self.top = np.fromiter((w[3] for w in words), float, n)
-        self.bottom = np.fromiter((w[4] for w in words), float, n)
-        doctop = np.fromiter((w[5] for w in words), float, n)
+        self.texts = [w[0] for w in words]
+        self.norm = [_norm_one(t) for t in self.texts]
+        self.x0 = [w[1] for w in words]
+        self.x1 = [w[2] for w in words]
+        self.top = [w[3] for w in words]
+        self.bottom = [w[4] for w in words]
         # reference line key: round(doctop*100) (:612-628)
-        self.line_key = np.rint(doctop * 100).astype(np.int64)
-        self.cy = (self.top + self.bottom) / 2.0
-        self.cx = (self.x0 + self.x1) / 2.0
-        self.is_num = np.fromiter(
-            (NUMBER_RE.match(t) is not None for t in self.texts), bool, n)
+        self.line_key = [round(w[5] * 100) for w in words]
+        self.cy = [(w[3] + w[4]) / 2.0 for w in words]
+        self.cx = [(w[1] + w[2]) / 2.0 for w in words]
+        self.is_num = [NUMBER_RE.match(t) is not None for t in self.texts]
+        groups: dict[int, list[int]] = {}
+        for i, k in enumerate(self.line_key):
+            groups.setdefault(k, []).append(i)
+        self.key_groups = groups
 
 
 def _column_centers(pg: _Page) -> tuple[list[float], list[float]]:
-    comp = [float(c) for c in pg.cx[pg.texts == "Comp."]]
-    valor = [float(c) for c in pg.cx[pg.texts == "Valor"]]
+    comp = [c for t, c in zip(pg.texts, pg.cx) if t == "Comp."]
+    valor = [c for t, c in zip(pg.texts, pg.cx) if t == "Valor"]
     return comp, valor
 
 
 def _month_blocks(pg: _Page, page_h: float, comp: list[float],
                   valor: list[float]) -> list[dict]:
     """G3/G4: 4-digit year anchors + same-row month names → blocks."""
-    order = np.lexsort((pg.x0, pg.cy))
-    cy_r = np.round(pg.cy, 1)
+    order = sorted(range(pg.n), key=lambda i: (pg.cy[i], pg.x0[i]))
+    cy_r = [round(c, 1) for c in pg.cy]
     blocks: list[dict] = []
     for idx in order:
         t = pg.texts[idx]
         if not (len(t) == 4 and t.isdigit()):
             continue
-        rc = round(float(pg.cy[idx]), 1)
-        same_row = order[np.abs(cy_r[order] - rc) < 0.2]
+        rc = round(pg.cy[idx], 1)
+        same_row = [j for j in order if abs(cy_r[j] - rc) < 0.2]
         names = [pg.texts[j] for j in same_row if pg.texts[j] != t]
         if not names:
             continue
@@ -151,22 +160,27 @@ def _month_blocks(pg: _Page, page_h: float, comp: list[float],
     return blocks
 
 
-def _prefix_masks(pg: _Page) -> dict[str, np.ndarray]:
-    """Per-page candidate masks for every target prefix (vectorized)."""
-    masks: dict[str, np.ndarray] = {}
-    norm = pd.Series(pg.norm)
+_BOUNDARY = set("0123456789.,")
+
+
+def _prefix_masks(pg: _Page) -> dict[str, list[int]]:
+    """Per-page candidate word indices for every target prefix."""
+    masks: dict[str, list[int]] = {}
+    norm = pg.norm
     for code, _col, prefix, _alias in TARGET_CODES:
         npfx = _norm_prefix(prefix)
         if npfx in masks:
             continue
-        m = norm.str.startswith(npfx).to_numpy()
         if npfx.isdigit():
             # numeric prefix boundary: next char must not be digit/','/'.'
             # (reference :564-567 — '952' must not match '9521')
-            nxt = norm.str.slice(len(npfx), len(npfx) + 1)
-            bad = nxt.str.match(r"[\d.,]").fillna(False).to_numpy()
-            m = m & ~bad
-        masks[npfx] = m
+            ln = len(npfx)
+            idxs = [i for i, t in enumerate(norm)
+                    if t.startswith(npfx)
+                    and (len(t) <= ln or t[ln] not in _BOUNDARY)]
+        else:
+            idxs = [i for i, t in enumerate(norm) if t.startswith(npfx)]
+        masks[npfx] = idxs
     return masks
 
 
@@ -286,9 +300,10 @@ def run_pages(raw_pages: list, page_h: float, state: PageRunState,
             for code, column, prefix, alias in TARGET_CODES:
                 cand = pfx_masks[_norm_prefix(prefix)]
                 if code_max_x is not None:
-                    cand = cand & (pg.x1 <= code_max_x)
-                idxs = np.flatnonzero(cand)
-                if idxs.size == 0:
+                    idxs = [i for i in cand if pg.x1[i] <= code_max_x]
+                else:
+                    idxs = cand
+                if not idxs:
                     continue
                 seen: set = set()
                 for ai in idxs:
@@ -364,48 +379,49 @@ def _extract_doc(url: str, html, text: str) -> tuple[list, list]:
 
 def _row_values(pg: _Page, anchor: int, block: dict,
                 column: int) -> list[tuple[tuple[int, int], str]]:
-    """G6 row assembly + G7 nearest-center month assignment for one anchor."""
+    """G6 row assembly + G7 nearest-center month assignment for one
+    anchor. Candidates share the anchor's line key (a ~10-word group),
+    so this runs scalar over the key group instead of masking the page."""
     row_top = max(block["y_start"], pg.top[anchor] - 0.5)
     row_bot = min(block["y_end"], pg.bottom[anchor] + 0.5)
     min_x = pg.x0[anchor] - 1.0
     code_cy = pg.cy[anchor]
 
-    mask = ((pg.line_key == pg.line_key[anchor])
-            & ~(pg.bottom < row_top) & ~(pg.top > row_bot)
-            & (pg.x1 >= min_x)
-            & (np.abs(pg.cy - code_cy) <= 0.3)
-            & pg.is_num)
-    widx = np.flatnonzero(mask)
-    if widx.size == 0:
+    widx = [wi for wi in pg.key_groups[pg.line_key[anchor]]
+            if pg.is_num[wi]
+            and not (pg.bottom[wi] < row_top or pg.top[wi] > row_bot)
+            and pg.x1[wi] >= min_x
+            and abs(pg.cy[wi] - code_cy) <= 0.3]
+    if not widx:
         return []
     # sort by (x0, x1) like the reference (:605) so later columns of the
     # same month overwrite earlier ones in the same insert order
-    widx = widx[np.lexsort((pg.x1[widx], pg.x0[widx]))]
+    widx.sort(key=lambda wi: (pg.x0[wi], pg.x1[wi]))
 
     months = block["months"]
-    targets = np.full(len(months), np.nan)
-    for k, (_mn, cc, vc) in enumerate(months):
+    targets = []
+    for (_mn, cc, vc) in months:
         t = cc if column == 1 else vc
         if t is None:
             t = vc if column == 1 else cc
-        if t is not None:
-            targets[k] = t
-    if np.all(np.isnan(targets)):
+        targets.append(t)
+    if all(t is None for t in targets):
         return []
 
+    year = block["year"]
     out: list[tuple[tuple[int, int], str]] = []
-    centers = pg.cx[widx]
-    # distance matrix: |word_center - month_target| (words × months)
-    dist = np.abs(centers[:, None] - targets[None, :])
-    dist = np.where(np.isnan(dist), np.inf, dist)
-    best = np.argmin(dist, axis=1)
-    best_d = dist[np.arange(len(widx)), best]
-    for j, wi in enumerate(widx):
-        if best_d[j] <= 25.0:
-            mn = months[best[j]][0]
-            txt = pg.texts[wi]
-            cleaned = txt.replace(".", "").replace(",", ".")
-            out.append(((block["year"], mn), cleaned))
+    for wi in widx:
+        center = pg.cx[wi]
+        best_mn, best_d = None, None
+        for k, t in enumerate(targets):
+            if t is None:
+                continue
+            d = abs(center - t)
+            if d <= 25.0 and (best_d is None or d < best_d):
+                best_mn, best_d = months[k][0], d
+        if best_mn is not None:
+            cleaned = pg.texts[wi].replace(".", "").replace(",", ".")
+            out.append(((year, best_mn), cleaned))
     return out
 
 

@@ -35,6 +35,13 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # local corpora shuffle only tens of MB: with the 64 MiB default
+        # advisory size AQE coalesces post-shuffle stages to 1-2 tasks
+        # and the pipeline stops scaling past a few cores. Keep
+        # parallelism-first with a small floor; at 100 TB the shuffles
+        # are GBs per partition and these floors are no-ops.
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1m")
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "256k")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
         .config("spark.sql.session.timeZone", "UTC")
