@@ -54,6 +54,13 @@ def run_bench(spark, sf_dir: str) -> dict:
     timings: dict[str, float] = {}
     counters: dict[str, int] = {}
 
+    # JIT/codegen warm-up on a tiny corpus so the measured numbers are
+    # steady-state throughput, not first-run compilation
+    warm = spark.read.parquet(ensure_corpus(spark, 100))
+    e1.extract_folha(warm)[0].count()
+    e2.values_table(e2.extract_ficha(warm)).count()
+    spark.catalog.clearCache()
+
     def timed(name: str, fn):
         t0 = time.time()
         out = fn()

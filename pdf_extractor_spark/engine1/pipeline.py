@@ -153,11 +153,15 @@ def extract_folha(pages_df: DataFrame) -> tuple[DataFrame, DataFrame]:
       attention = (url, folha_type, year, month, kind, description,
                    codes array<string>, excel_col)
     """
-    # Early url-hash repartition: the heavy explode+classify+join stage
-    # must run at full core parallelism even when the input is a few
-    # small parquet files that the scan bins into a handful of splits.
+    # Early url-hash repartition ONLY when the scan yields fewer splits
+    # than cores (tiny local corpora): the heavy explode+classify+join
+    # stage must run at full parallelism. At production split sizing the
+    # scan already has >> cores partitions and payloads never shuffle
+    # before the line-level exchange below.
     n_part0 = pages_df.sparkSession.sparkContext.defaultParallelism
-    pages_df = pages_df.select("url", "text").repartition(n_part0, "url")
+    pages_df = pages_df.select("url", "text")
+    if pages_df.rdd.getNumPartitions() < n_part0:
+        pages_df = pages_df.repartition(n_part0, "url")
     classified = classify_pages(explode_pages(pages_df))
     # Explicit (url, page)-hash repartition (north-rule partitioning):
     # one exchange that (a) materializes the parsed indice/valor structs

@@ -28,7 +28,6 @@ import re
 from decimal import Decimal
 from typing import Iterator
 
-import numpy as np
 import pandas as pd
 
 from ..oracle_ref import e2_person_name  # shared scalar; test-parity critical

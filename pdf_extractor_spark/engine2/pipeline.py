@@ -40,23 +40,28 @@ INSS_COMP, INSS_VALOR = "527-INSS-Comp", "527-INSS-Valor"
 BASE_CODE = "3123-Base"
 
 
-def extract_ficha(pages_df: DataFrame, with_layout_only: bool = True) -> DataFrame:
+def extract_ficha(pages_df: DataFrame, with_layout_only: bool = True,
+                  repartition: bool | None = None) -> DataFrame:
     """pages table → long extraction rows (+ per-doc __metrics__ rows).
 
-    Shuffle-free: one input row per document, mapInPandas kernel.
+    Shuffle-free in the normal case: one input row per document, straight
+    scan → mapInPandas kernel (the 100 TB plan shape — payload bytes
+    never shuffle). `repartition=None` auto-inserts one round-robin
+    exchange only when the scan yields fewer partitions than cores
+    (tiny local corpora); it also evens long-tail document-size skew.
+    For truly oversized single documents use
+    engine2.salted.extract_ficha_salted (page-range split + exact
+    carry-state handoff).
     """
     df = pages_df.select("url", "html", "text")
     if with_layout_only:
         df = df.filter(F.length("html") > 0)
-    # Round-robin repartition before the kernel: documents are
-    # independent rows, so this both guarantees parallelism = cores
-    # (regardless of input file layout) and evens out the long-tail
-    # document-size skew across tasks. For truly oversized documents use
-    # engine2.salted.extract_ficha_salted (page-range split + exact
-    # carry-state handoff).
     n_part = pages_df.sparkSession.sparkContext.defaultParallelism
-    return df.repartition(n_part).mapInPandas(
-        extract_ficha_long, schema=E2_LONG_SCHEMA)
+    if repartition is None:
+        repartition = df.rdd.getNumPartitions() < n_part
+    if repartition:
+        df = df.repartition(n_part)
+    return df.mapInPandas(extract_ficha_long, schema=E2_LONG_SCHEMA)
 
 
 def values_table(long_df: DataFrame) -> DataFrame:

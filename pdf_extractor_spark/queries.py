@@ -515,6 +515,51 @@ def c8_period_label(spark, sf_dir):
     return o.groupBy(label.alias("period_label")).agg(F.count("*").alias("n"))
 
 
+@q("c1_last_two_numbers", r"""
+SELECT doc_id,
+       CASE WHEN len(toks) >= 2 THEN toks[-2] END AS penult_tok,
+       CASE WHEN len(toks) >= 1 THEN toks[-1] END AS last_tok,
+       len(toks) AS n_toks
+FROM (SELECT doc_id,
+             regexp_extract_all(text, '[0-9]+(?:[.,:][0-9]+)*') AS toks
+      FROM documents)
+""")
+def c1_last_two_numbers(spark, sf_dir):
+    # C1 shape: extract_last_two_numbers over a text line
+    d = T(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all("text", F.lit(r"[0-9]+(?:[.,:][0-9]+)*"),
+                                F.lit(0))
+    d = d.withColumn("toks", toks)
+    return d.select(
+        "doc_id",
+        F.when(F.size("toks") >= 2, F.element_at("toks", -2)).alias("penult_tok"),
+        F.when(F.size("toks") >= 1, F.element_at("toks", -1)).alias("last_tok"),
+        F.size("toks").cast("bigint").alias("n_toks"),
+    )
+
+
+@q("u4_stopword_removal", """
+SELECT doc_id,
+       len(list_distinct(list_filter(
+           string_split(lower(text), ' '),
+           w -> w NOT IN ('the', 'of', 'and', 'to', 'in', 'a', 'is')
+       ))) AS n_content_words
+FROM documents
+""")
+def u4_stopword_removal(spark, sf_dir):
+    # U4 shape: stop-word removal via array_except (count compare only —
+    # element order differs between engines)
+    d = T(spark, sf_dir, "documents")
+    stop = F.array(*[F.lit(w) for w in
+                     ["the", "of", "and", "to", "in", "a", "is"]])
+    words = F.split(F.lower("text"), " ")
+    return d.select(
+        "doc_id",
+        F.size(F.array_except(words, stop)).cast("bigint")
+        .alias("n_content_words"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Corpus-curation ops (dedup / text analysis / similarity)
 # ---------------------------------------------------------------------------
