@@ -85,6 +85,12 @@ def apply_vacation_adjustments_df(vals: DataFrame) -> DataFrame:
     construction, so the férias qualification never changes the result;
     the pivot below keys directly on computable months.
     """
+    from pyspark import StorageLevel
+
+    # the adjustment reads `vals` from several branches (pair pivot,
+    # base slices, passthrough) — without a persist each branch re-runs
+    # the upstream extraction kernel
+    vals = vals.persist(StorageLevel.MEMORY_AND_DISK)
     pair = vals.filter(F.col("code").isin(INSS_COMP, INSS_VALOR))
     pv = (
         pair.groupBy("url", "year", "month")
@@ -101,26 +107,26 @@ def apply_vacation_adjustments_df(vals: DataFrame) -> DataFrame:
         )
         .withColumn("additional", decimal_div_pct_udf("valor", "comp"))
         .select("url", "year", "month", "additional")
+        .persist(StorageLevel.MEMORY_AND_DISK)  # referenced 3× below
     )
 
     base = vals.filter(F.col("code") == BASE_CODE).select(
         "url", "year", "month", "value"
     )
+    keys = ["url", "year", "month"]
+    # Vectorized UDFs evaluate on every batch row even under when() —
+    # run the exact-decimal add only on the (small) matched slice and
+    # pass the untouched majority through. adj is tiny → broadcast.
+    adj_b = F.broadcast(adj)
+    matched = base.join(adj_b, keys, "inner").select(
+        *keys, decimal_add_udf("value", "additional").alias("value"))
+    base_only = base.join(adj_b, keys, "left_anti")
+    adj_only = adj.join(base, keys, "left_anti").select(
+        *keys, F.col("additional").alias("value"))
     new_base = (
-        base.join(adj, ["url", "year", "month"], "full_outer")
-        .withColumn(
-            "value",
-            F.when(F.col("additional").isNull(), F.col("value")).otherwise(
-                decimal_add_udf("value", "additional")
-            ),
-        )
-        .select(
-            "url",
-            F.lit(BASE_CODE).alias("code"),
-            "year",
-            "month",
-            "value",
-        )
+        matched.unionByName(base_only).unionByName(adj_only)
+        .select("url", F.lit(BASE_CODE).alias("code"), "year", "month",
+                "value")
     )
     return vals.filter(F.col("code") != BASE_CODE).unionByName(new_base)
 

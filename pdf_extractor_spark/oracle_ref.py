@@ -307,6 +307,54 @@ def e1_extract_doc(text: str) -> dict:
     return out
 
 
+E1_NAME_PATTERNS = [
+    r"Nome\s*:\s*([A-ZÁÇÃÂÊÔÉÍÓÚÀÈÌÒÙ\s]+?)(?:\n|$|[A-Z]{2,}:)",
+    r"NOME\s*:\s*([A-ZÁÇÃÂÊÔÉÍÓÚÀÈÌÒÙ\s]+?)(?:\n|$|[A-Z]{2,}:)",
+    r"Nome\s*:\s*(.+?)(?:\n|Endereço|CPF|RG)",
+    r"NOME\s*:\s*(.+?)(?:\n|ENDEREÇO|CPF|RG)",
+    r"Nome\s*:\s*(.+?)$",
+    r"NOME\s*:\s*(.+?)$",
+]
+
+E1_NAME_STOP = {"NOME", "FUNCIONARIO", "FUNCIONÁRIO", "TRABALHADOR",
+                "COLABORADOR", "EMPREGADO"}
+
+
+def e1_clean_name(raw: str) -> Optional[str]:
+    """pdf_processor_core.py:223-253."""
+    if not raw:
+        return None
+    nome = re.sub(r"\s+", " ", re.sub(r"[^\w\s]", " ", raw.strip().upper())).strip()
+    if not (3 <= len(nome) <= 100):
+        return None
+    if nome.replace(" ", "").isdigit():
+        return None
+    if not re.search(r"[A-ZÁÇÃÂÊÔÉÍÓÚÀÈÌÒÙ]", nome):
+        return None
+    kept = [p for p in nome.split() if p not in E1_NAME_STOP]
+    if not kept:
+        return None
+    final = " ".join(kept)
+    return final if len(final) >= 3 else None
+
+
+def e1_person_name(text: str) -> Optional[str]:
+    """pdf_processor_core.py:174-221 (first page, line scan, pattern
+    order within line)."""
+    first = (text.split("\f", 1)[0] if text else "")
+    if not first:
+        return None
+    for line in first.split("\n"):
+        lc = line.strip()
+        for pat in E1_NAME_PATTERNS:
+            m = re.search(pat, lc, re.IGNORECASE)
+            if m:
+                cleaned = e1_clean_name(m.group(1).strip())
+                if cleaned:
+                    return cleaned
+    return None
+
+
 # ---------------------------------------------------------------------------
 # Engine 2 — layout extraction (ficha_financeira_processor.py:387-852)
 # ---------------------------------------------------------------------------

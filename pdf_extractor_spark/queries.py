@@ -751,6 +751,17 @@ def extract_e1_values(spark, sf_dir):
     )
 
 
+@q("extract_e1_person_names")
+def extract_e1_person_names(spark, sf_dir):
+    """F7/F8 person-name extraction over the synthetic folha corpus."""
+    from .datagen import corpus_df
+    from .engine1.names import person_name_e1
+
+    pages = corpus_df(spark, _corpus_docs_for(sf_dir))
+    return person_name_e1(
+        pages.filter(F.col("url").startswith("synth://folha")))
+
+
 @q("extract_audit_metrics")
 def extract_audit_metrics(spark, sf_dir):
     """Per-document lineage metrics (audit-table feed, both engines)."""
