@@ -30,7 +30,9 @@ from pdf_extractor_spark.engine2 import pipeline as e2
 # 2 warm-up passes (JIT + codegen), then best-of-3 measured passes —
 # min is robust against host-level CPU steal on this shared sandbox
 t_e1, t_e2 = float("inf"), float("inf")
-for it in range(5):
+n_iters = int(__import__("os").environ.get("SCALING_ITERS", "5"))
+warmups = 1 if n_iters <= 3 else 2
+for it in range(n_iters):
     t0 = time.time()
     vals, att = e1.extract_folha(pages)
     n1 = vals.count() + att.count()
@@ -42,7 +44,7 @@ for it in range(5):
     n2 = adj.count()
     d2 = time.time() - t0
     spark.catalog.clearCache()
-    if it >= 2:
+    if it >= warmups:
         t_e1, t_e2 = min(t_e1, d1), min(t_e2, d2)
 
 n_folha = pages.filter(F.col("url").startswith("synth://folha")).count()
