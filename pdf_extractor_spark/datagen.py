@@ -436,7 +436,9 @@ def corpus_df(spark, n_docs: int, seed: int = 42, partitions: int | None = None)
         for batch in batches:
             yield pd.DataFrame([gen_row(seed, int(i)) for i in batch["id"]])
 
-    rng_df = spark.range(0, n_docs, 1, partitions or max(8, n_docs // 64 or 1))
+    rng_df = spark.range(
+        0, n_docs, 1,
+        partitions or min(512, max(8, n_docs // 64 or 1)))
     return rng_df.mapInPandas(gen, schema=PAGES_SCHEMA)
 
 

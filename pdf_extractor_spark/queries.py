@@ -443,6 +443,18 @@ def o5_topk_history(spark, sf_dir):
             .limit(10))
 
 
+@q("o6_top3_errors", """
+SELECT event_id, user_id FROM events WHERE event_type = 'error'
+ORDER BY ts DESC, event_id DESC LIMIT 3
+""")
+def o6_top3_errors(spark, sf_dir):
+    # O6 shape: error display top-3 (+ "e mais N" count is n_rows-3)
+    e = T(spark, sf_dir, "events")
+    return (e.filter(F.col("event_type") == "error")
+            .orderBy(F.col("ts").desc(), F.col("event_id").desc())
+            .select("event_id", "user_id").limit(3))
+
+
 @q("u1_union_keys", """
 SELECT user_id FROM events WHERE event_type = 'click'
 UNION
