@@ -77,7 +77,14 @@ def main() -> None:
     merged = merge.merge_if_empty(
         target, e1_flat,
         keys=["url", "folha_type", "year", "month", "excel_col"])
-    merged.write.mode("overwrite").parquet(f"{target_path}_new")
+    # parquet can't overwrite its own input: stage then atomic swap
+    # (Iceberg MERGE INTO gives this snapshot semantics natively)
+    import shutil
+
+    staged = f"{target_path}__staged"
+    merged.write.mode("overwrite").parquet(staged)
+    shutil.rmtree(target_path, ignore_errors=True)
+    shutil.move(staged, target_path)
     e1_attention.write.mode("append").parquet(f"{out}/e1_attention")
 
     # ---- Engine 2 ------------------------------------------------------

@@ -97,26 +97,33 @@ def matched_lines(classified: DataFrame) -> DataFrame:
         F.posexplode(F.split("page", "\n")).alias("line_pos", "raw_line"),
     ).withColumn("line", F.trim("raw_line")).filter(F.col("line") != "")
 
-    return lines.join(
+    joined = lines.join(
         rules,
         (lines["folha_type"] == rules["folha_type"])
         & lines["line"].contains(rules["code"]),
         "inner",
     ).drop(rules["folha_type"])
+    # tokenize BEFORE the exchange and drop the line text: the shuffle
+    # and the persisted table then carry a ≤2-token array instead of the
+    # full line string (C1 only ever reads the last two numeric tokens)
+    toks = F.regexp_extract_all("line", F.lit(NUM_TOKEN_RE), F.lit(0))
+    last2 = F.slice(toks, F.greatest(F.size(toks) - 1, F.lit(1)), 2)
+    return joined.withColumns(
+        {"toks2": last2, "n_toks": F.size(toks)}
+    ).drop("line", "raw_line")
 
 
 def parse_line_numbers(ml: DataFrame) -> DataFrame:
-    """C1/C2 on matched lines. Kept as a separate projection applied
-    AFTER the (url, page) exchange: the two parse structs are large
-    when-chains and inlining them into the explode+join stage blows the
-    JVM 64KB generated-method limit (interpreted fallback ~3× slower)."""
-    toks = F.regexp_extract_all("line", F.lit(NUM_TOKEN_RE), F.lit(0))
-    ml = ml.withColumn("toks", toks)
-    indice = F.when(F.size("toks") >= 2,
-                    to_float_robust_struct(F.element_at("toks", -2)))
-    valor = F.when(F.size("toks") >= 1,
-                   to_float_robust_struct(F.element_at("toks", -1)))
-    return ml.withColumns({"indice": indice, "valor": valor}).drop("toks")
+    """C1/C2 on matched lines. The parse structs are large when-chains
+    applied AFTER the (url, page) exchange: inlining them into the
+    explode+join stage blows the JVM 64KB generated-method limit
+    (interpreted fallback ~3× slower)."""
+    indice = F.when(F.col("n_toks") >= 2,
+                    to_float_robust_struct(F.element_at("toks2", -2)))
+    valor = F.when(F.col("n_toks") >= 1,
+                   to_float_robust_struct(F.element_at("toks2", -1)))
+    return ml.withColumns({"indice": indice, "valor": valor}) \
+             .drop("toks2", "n_toks")
 
 
 def _nonzero(v) -> F.Column:
