@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 from pdf_extractor_spark.datagen import corpus_df
 from pdf_extractor_spark.session import get_spark
 
-SF_DOCS = {"0.001": 100, "0.01": 500, "0.1": 2000}
+SF_DOCS = {"0.001": 100, "0.01": 1000, "0.1": 16000}
 
 
 def sf_of(sf_dir: str) -> str:

@@ -48,10 +48,15 @@ def main() -> None:
     ap.add_argument("--minutes-mode", action="store_true")
     args = ap.parse_args()
 
+    start, end = parse_period(args.start), parse_period(args.end)
+    if start > end:
+        # fail fast, before any output is written (reference
+        # ficha_financeira_processor.py:187-188)
+        ap.error(f"--start {args.start} must not be after --end {args.end}")
+
     spark = get_spark(f"extract-{args.run_id}")
     out = args.out.rstrip("/")
     manifest = f"{out}/manifest"
-    start, end = parse_period(args.start), parse_period(args.end)
 
     pages = spark.read.parquet(args.pages)
     if args.resume:
