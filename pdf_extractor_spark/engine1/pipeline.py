@@ -185,11 +185,45 @@ def extract_folha(pages_df: DataFrame) -> tuple[DataFrame, DataFrame]:
     ml = parse_line_numbers(
         matched_lines(classified).repartition(n_part, "url", "page_idx")
     ).withColumn("use", _value_to_use())
-    # Persist: three downstream branches (normal/sumable/13º) read this
-    # table — without it each branch re-runs the explode+join pipeline,
-    # and per-branch filter pushdown through the exchange re-inlines the
-    # big parse expressions into the explode stage (64KB codegen blowup
-    # → interpreted fallback). MEMORY_AND_DISK so it spills at scale.
+
+    # --- single annotation pass: all branch window-aggregates computed
+    # while the (url, page)-hash partitioning is still VISIBLE (cached
+    # plans lose partitioning metadata, so windows applied after the
+    # persist would each re-shuffle the full table). Three Window ops
+    # share the exchange: subset-key clustering satisfies them all.
+    qual_normal = (
+        (F.col("folha_type") == "FOLHA NORMAL")
+        & ~F.col("code").isin(SUM4)
+        & F.col("use").isNotNull()
+    )
+    qual_sum = (
+        (F.col("folha_type") == "FOLHA NORMAL")
+        & F.col("code").isin(SUM4)
+        & F.col("use").isNotNull()
+    )
+    w_col = Window.partitionBy("url", "page_idx", "excel_col")
+    w_code = Window.partitionBy("url", "page_idx", "code")
+    w_page = Window.partitionBy("url", "page_idx")
+    is13 = F.col("folha_type") == "13 SALARIO"
+    ml = ml.withColumns({
+        # last qualifying line per excel column (A-path dict overwrite)
+        "last_normal_pos": F.max(F.when(qual_normal, F.col("line_pos")))
+        .over(w_col),
+        # last qualifying line per SUM4 code (per-code dict overwrite)
+        "last_sum_pos": F.max(F.when(qual_sum, F.col("line_pos")))
+        .over(w_code),
+        # A5: last 09090301/09090101 line on a 13º page (valor captured
+        # even when null — the reference overwrites per matched line)
+        "s301": F.max(F.when(is13 & (F.col("code") == "09090301"),
+                             F.struct("line_pos", "valor"))).over(w_page),
+        "s101": F.max(F.when(is13 & (F.col("code") == "09090101"),
+                             F.struct("line_pos", "valor"))).over(w_page),
+    })
+    # Persist the annotated table: every downstream branch is now a pure
+    # filter/aggregate over it — without the persist each branch re-runs
+    # the explode+join pipeline, and filter pushdown through the exchange
+    # re-inlines the big parse expressions into the explode stage (64KB
+    # codegen blowup → interpreted fallback). MEMORY_AND_DISK for spill.
     from pyspark import StorageLevel
 
     ml = ml.persist(StorageLevel.MEMORY_AND_DISK)
@@ -197,17 +231,9 @@ def extract_folha(pages_df: DataFrame) -> tuple[DataFrame, DataFrame]:
     pkey = ["url", "page_idx", "folha_type", "year", "month"]
 
     # --- normal path (FOLHA NORMAL, codes outside the SUM4 set) --------
-    normal = ml.filter(
-        (F.col("folha_type") == "FOLHA NORMAL")
-        & ~F.col("code").isin(SUM4)
-        & F.col("use").isNotNull()
-    )
-    w_col = Window.partitionBy("url", "page_idx", "excel_col").orderBy(
-        F.col("line_pos").desc()
-    )
+    normal = ml.filter(qual_normal)
     normal_vals = (
-        normal.withColumn("rn", F.row_number().over(w_col))
-        .filter(F.col("rn") == 1)
+        normal.filter(F.col("line_pos") == F.col("last_normal_pos"))
         .select(*pkey, "excel_col", F.col("use").alias("value"))
     )
 
@@ -230,14 +256,8 @@ def extract_folha(pages_df: DataFrame) -> tuple[DataFrame, DataFrame]:
     )
 
     # --- A3 sumable pairs (SUM4 codes) ----------------------------------
-    sum4 = ml.filter(F.col("code").isin(SUM4) & F.col("use").isNotNull()
-                     & (F.col("folha_type") == "FOLHA NORMAL"))
-    w_code = Window.partitionBy("url", "page_idx", "code").orderBy(
-        F.col("line_pos").desc()
-    )
-    sum_last = sum4.withColumn("rn", F.row_number().over(w_code)).filter(
-        F.col("rn") == 1
-    )
+    sum_last = ml.filter(qual_sum
+                         & (F.col("line_pos") == F.col("last_sum_pos")))
     sum_g = sum_last.groupBy(*pkey, "excel_col", "description").agg(
         F.count("*").alias("n_codes"),
         F.sum(F.col("use")["num"]).alias("sum_num"),
@@ -261,22 +281,15 @@ def extract_folha(pages_df: DataFrame) -> tuple[DataFrame, DataFrame]:
     )
 
     # --- A5 13º-salário coalesce (09090301 preferred, else 09090101) ---
-    s13 = ml.filter(F.col("folha_type") == "13 SALARIO")
-
-    def last_valor(code: str, alias: str) -> DataFrame:
-        w = Window.partitionBy(*pkey).orderBy(F.col("line_pos").desc())
-        return (
-            s13.filter(F.col("code") == code)
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select(*pkey, F.col("valor").alias(alias))
-        )
-
-    j13 = last_valor("09090301", "v301").join(
-        last_valor("09090101", "v101"), pkey, "full_outer"
-    )
+    # s301/s101 are per-page constants (window aggregates) — one row per
+    # page suffices
     b13 = (
-        j13.withColumn(
+        ml.filter(is13)
+        .select(*pkey,
+                F.col("s301")["valor"].alias("v301"),
+                F.col("s101")["valor"].alias("v101"))
+        .distinct()
+        .withColumn(
             "value",
             F.when(_nonzero(F.col("v301")), F.col("v301")).when(
                 _nonzero(F.col("v101")), F.col("v101")
