@@ -300,6 +300,16 @@ def gen_e2_doc(seed: int, doc_id: int) -> tuple[bytes, str, str]:
     use_205_alias = h % 4 == 0
     has_ferias = h % 2 == 0
     nbsp_952 = h % 6 == 0
+    # K3 out-of-range-append trap: some docs drop the 50%-series row in
+    # their last-quarter blocks, so 14-Horas100 months exist with no
+    # 6-Horas coverage — when those months fall outside a requested
+    # range they must be APPENDED by the cartões writer (reference
+    # ficha_financeira_processor.py:1059-1065), not silently dropped.
+    # Decoupled hash (has_14 ⇔ h%3==0 would pin start_year/n_years) and a
+    # stretched year span so the trap months land outside typical ranges.
+    skip50 = has_14 and _h(seed, doc_id, "skip50") % 2 == 0
+    if skip50:
+        n_years = max(n_years, 3)
 
     pb = _PageBuilder()
     pb.new_page(with_headers=True)
@@ -314,9 +324,14 @@ def gen_e2_doc(seed: int, doc_id: int) -> tuple[bytes, str, str]:
         _code_row(pb, insal_code, "P",
                   [_e2_value(rng, 10, 30) for _ in months_idx],
                   [_e2_value(rng, 100, 700) for _ in months_idx])
-        _code_row(pb, "6-Horas50%", "P",
-                  [_e2_value(rng, 0, 40) for _ in months_idx],
-                  [_e2_value(rng, 0, 900) for _ in months_idx])
+        if not (skip50 and q == 2):
+            _code_row(pb, "6-Horas50%", "P",
+                      [_e2_value(rng, 0, 40) for _ in months_idx],
+                      [_e2_value(rng, 0, 900) for _ in months_idx])
+        else:
+            # keep the rng stream aligned so sibling rows are unchanged
+            [_e2_value(rng, 0, 40) for _ in months_idx]
+            [_e2_value(rng, 0, 900) for _ in months_idx]
         if has_14:
             _code_row(pb, "14-Horas100%", "P",
                       [_e2_value(rng, 0, 20) for _ in months_idx],

@@ -182,41 +182,104 @@ def default_series_table(vals: DataFrame, code: str, start, end) -> DataFrame:
     )
 
 
+def _ym(y, m):
+    return y * 12 + m
+
+
+def _out_of_range(start, end):
+    (y0, m0), (y1, m1) = start, end
+    ym = F.col("year") * 12 + F.col("month")
+    return (ym < F.lit(_ym(y0, m0))) | (ym > F.lit(_ym(y1, m1)))
+
+
 def cartoes_table(vals: DataFrame, start, end, minutes_mode: bool = False) -> DataFrame:
-    """K3: HORA EXTRA 50% (+ conditional 100% column per url — A8)."""
+    """K3: HORA EXTRA 50% (+ conditional 100% column per url — A8).
+
+    Writer semantics (``_write_cartoes_csv``, reference
+    ``ficha_financeira_processor.py:1035-1080``): the requested months
+    zero-filled in range order, THEN — appended after the range, sorted —
+    any month present in the 100%-series but in neither the 50%-series
+    nor the range (``missing_months``, ``:1059-1065``). The include-100%
+    flag (A8) reads ALL extracted 100%-values, in- or out-of-range
+    (``:1049-1051``). ``is_extra`` marks appended rows so renderers can
+    reproduce the reference row order (range rows first).
+    """
+    h50_raw = vals.filter(F.col("code") == "6-Horas").select(
+        "url", "year", "month", "value")
+    h100_raw = vals.filter(F.col("code") == "14-Horas100").select(
+        "url", "year", "month", "value")
+
+    keys = ["url", "year", "month"]
     h50 = series_for_code(vals, "6-Horas", start, end).withColumnRenamed("value", "v50")
-    h100 = (series_for_code(vals, "14-Horas100", start, end)
-            .withColumnRenamed("value", "v100"))
-    df = h50.join(h100, ["url", "year", "month"], "full_outer")
-    df = df.withColumn("v50", F.coalesce("v50", F.lit("0"))) \
-           .withColumn("v100", F.coalesce("v100", F.lit("0")))
+    h100 = h100_raw.withColumnRenamed("value", "v100")
+    in_range = (
+        h50.join(h100, keys, "left")
+        .withColumn("v100", F.coalesce("v100", F.lit("0")))
+        .withColumn("is_extra", F.lit(False))
+    )
+    # missing_months: 100%-series keys outside the range that the
+    # 50%-series doesn't cover (keys covered by the 50%-series but out of
+    # range are dropped — exactly the reference's membership test)
+    extra = (
+        h100_raw.filter(_out_of_range(start, end))
+        .join(h50_raw, keys, "left_anti")
+        .select("url", "year", "month", F.lit("0").alias("v50"),
+                F.col("value").alias("v100"), F.lit(True).alias("is_extra"))
+    )
+    df = in_range.unionByName(extra)
     if minutes_mode:
         df = df.withColumn("v50", convert_minutes_udf("v50")) \
                .withColumn("v100", convert_minutes_udf("v100"))
-    # A8: include the 100% column only when the url has any nonzero value
-    inc = df.groupBy("url").agg(
-        F.max(F.col("v100").cast("decimal(38,6)") != 0).alias("include_extra_100"))
+    # A8: include the 100% column only when the url has any nonzero
+    # extracted value (the writer reads the full horas_100 map)
+    inc = h100_raw.groupBy("url").agg(
+        F.max(F.col("value").cast("decimal(38,6)") != 0).alias("include_extra_100"))
     return (
-        df.join(F.broadcast(inc), "url")
+        df.join(F.broadcast(inc), "url", "left")
+        .withColumn("include_extra_100",
+                    F.coalesce("include_extra_100", F.lit(False)))
         .select(
             "url", "year", "month",
             F.format_string("%02d/%04d", "month", "year").alias("periodo"),
             format_decimal_udf(F.col("v50")).alias("hora_extra_50"),
             format_decimal_udf(F.col("v100")).alias("hora_extra_100"),
-            "include_extra_100",
+            "include_extra_100", "is_extra",
         )
     )
 
 
 def horas_trabalhadas_table(vals: DataFrame, start, end,
                             minutes_mode: bool = False) -> DataFrame:
-    """K4: PERIODO;HORAS TRAB.;FALTAS (1-Salario comp column + 952)."""
+    """K4: PERIODO;HORAS TRAB.;FALTAS (1-Salario comp column + 952).
+
+    Writer semantics (``_write_horas_trabalhadas_csv``, reference
+    ``:1082-1119``): range months zero-filled in order, then
+    ``additional_months`` — any month of either series outside the range
+    — appended sorted after the range (``:1094-1100``).
+    """
+    keys = ["url", "year", "month"]
+    h_raw = vals.filter(F.col("code") == "1-Salario").select(
+        "url", "year", "month", "value")
+    f_raw = vals.filter(F.col("code") == "952-FaltaInjustifica").select(
+        "url", "year", "month", "value")
+
     horas = series_for_code(vals, "1-Salario", start, end).withColumnRenamed("value", "vh")
-    faltas = (series_for_code(vals, "952-FaltaInjustifica", start, end)
-              .withColumnRenamed("value", "vf"))
-    df = horas.join(faltas, ["url", "year", "month"], "full_outer")
-    df = df.withColumn("vh", F.coalesce("vh", F.lit("0"))) \
-           .withColumn("vf", F.coalesce("vf", F.lit("0")))
+    faltas = f_raw.withColumnRenamed("value", "vf")
+    in_range = (
+        horas.join(faltas, keys, "left")
+        .withColumn("vf", F.coalesce("vf", F.lit("0")))
+        .withColumn("is_extra", F.lit(False))
+    )
+    extra = (
+        h_raw.withColumnRenamed("value", "vh")
+        .join(f_raw.withColumnRenamed("value", "vf"), keys, "full_outer")
+        .filter(_out_of_range(start, end))
+        .select("url", "year", "month",
+                F.coalesce("vh", F.lit("0")).alias("vh"),
+                F.coalesce("vf", F.lit("0")).alias("vf"),
+                F.lit(True).alias("is_extra"))
+    )
+    df = in_range.unionByName(extra)
     if minutes_mode:
         df = df.withColumn("vh", convert_minutes_udf("vh")) \
                .withColumn("vf", convert_minutes_udf("vf"))
@@ -225,6 +288,7 @@ def horas_trabalhadas_table(vals: DataFrame, start, end,
         F.format_string("%02d/%04d", "month", "year").alias("periodo"),
         format_decimal_udf(F.col("vh")).alias("horas_trab"),
         format_decimal_udf(F.col("vf")).alias("faltas"),
+        "is_extra",
     )
 
 

@@ -24,24 +24,38 @@ MEDIA_SCHEMA = ("doc_id bigint, media_type string, payload binary, "
                 "width int, height int, duration_ms int")
 
 FEATURE_SCHEMA = ("doc_id bigint, media_type string, n_bytes bigint, "
-                  "feature array<float>, decode_ok boolean")
+                  "feature array<float>, feature_fp string, "
+                  "decode_ok boolean")
+
+MEDIA_TYPES = ["image", "audio", "video"]
 
 
 def synth_media_table(spark, docs: DataFrame, id_col: str = "doc_id",
                       text_col: str = "text") -> DataFrame:
     """Derive a deterministic media table from a docs table: payload =
-    utf-8 bytes of the text (stand-in blob), typed metadata columns."""
+    utf-8 bytes of the text (stand-in blob), typed metadata columns.
+
+    All metadata is modular arithmetic on the id (no opaque hash), so an
+    independent oracle can reproduce it exactly.
+    """
     return docs.select(
         F.col(id_col).alias("doc_id"),
         F.element_at(
-            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
-            (F.pmod(F.xxhash64(id_col), F.lit(3)) + 1).cast("int"),
+            F.array(*[F.lit(t) for t in MEDIA_TYPES]),
+            (F.pmod(F.col(id_col), F.lit(3)) + 1).cast("int"),
         ).alias("media_type"),
         F.encode(F.col(text_col), "utf-8").alias("payload"),
-        (F.pmod(F.xxhash64(id_col, F.lit(1)), F.lit(1920)) + 1).cast("int").alias("width"),
-        (F.pmod(F.xxhash64(id_col, F.lit(2)), F.lit(1080)) + 1).cast("int").alias("height"),
-        (F.pmod(F.xxhash64(id_col, F.lit(3)), F.lit(600000)) + 1).cast("int").alias("duration_ms"),
+        (F.pmod(F.col(id_col) * 7919 + 13, F.lit(1920)) + 1).cast("int").alias("width"),
+        (F.pmod(F.col(id_col) * 104729 + 17, F.lit(1080)) + 1).cast("int").alias("height"),
+        (F.pmod(F.col(id_col) * 1299709 + 19, F.lit(600000)) + 1).cast("int").alias("duration_ms"),
     )
+
+
+def feature_fingerprint(vec: list[float]) -> str:
+    """Hashable projection of a feature vector (driver correctness
+    checks can't canonicalize array columns): md5 of the 6-dp rendering."""
+    return hashlib.md5(
+        ",".join(f"{x:.6f}" for x in vec).encode()).hexdigest()
 
 
 def _fake_feature(payload: bytes, dim: int) -> np.ndarray:
@@ -64,24 +78,27 @@ def extract_features(media: DataFrame, dim: int = 16,
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats, oks = [], []
+            feats, fps, oks = [], [], []
             for payload in pdf["payload"]:
                 if not deterministic_fake:
                     raise NotImplementedError(
                         "real media decoders are not available in this "
                         "environment; pass deterministic_fake=True")
                 try:
-                    feats.append(_fake_feature(bytes(payload or b""), dim)
-                                 .tolist())
+                    vec = _fake_feature(bytes(payload or b""), dim).tolist()
+                    feats.append(vec)
+                    fps.append(feature_fingerprint(vec))
                     oks.append(True)
                 except Exception:
                     feats.append(None)
+                    fps.append(None)
                     oks.append(False)
             yield pd.DataFrame({
                 "doc_id": pdf["doc_id"],
                 "media_type": pdf["media_type"],
                 "n_bytes": pdf["payload"].map(lambda b: len(b or b"")),
                 "feature": feats,
+                "feature_fp": fps,
                 "decode_ok": oks,
             })
 

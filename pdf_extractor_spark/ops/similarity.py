@@ -87,9 +87,17 @@ def lsh_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
              seed: int = 42) -> DataFrame:
     """Approximate top-k: `n_tables` independent hyperplane tables of
     `n_planes` bits; candidates = corpus rows sharing a bucket with the
-    query in any table; exact cosine re-scoring on candidates only."""
+    query in any table; exact cosine re-scoring on candidates only.
+
+    `dim` (embedding length) is required: inferring it from data would
+    trigger a driver-side job at plan-construction time, breaking lazy
+    composition (the array element type carries no length in the schema).
+    """
     if dim is None:
-        dim = len(embeddings.select(vec_col).first()[0])
+        raise ValueError(
+            "dim is required: pass the embedding length explicitly "
+            "(schema carries no array length; a data probe would run a "
+            "job before the real action)")
     corpus = embeddings.select(F.col(id_col).alias("neighbor_id"),
                                F.col(vec_col).alias("vec"))
     q = queries.select(F.col(q_id_col).alias("query_id"),
@@ -133,9 +141,13 @@ def embedding_near_duplicates(embeddings: DataFrame, threshold: float = 0.95,
                               seed: int = 42) -> DataFrame:
     """Embedding-cosine near-dup pairs via one hyperplane bucket table
     (high threshold → near-identical vectors land in the same bucket
-    with high probability); exact cosine verification."""
+    with high probability); exact cosine verification. `dim` required —
+    see `lsh_topk`."""
     if dim is None:
-        dim = len(embeddings.select(vec_col).first()[0])
+        raise ValueError(
+            "dim is required: pass the embedding length explicitly "
+            "(schema carries no array length; a data probe would run a "
+            "job before the real action)")
     planes = _hyperplanes(dim, n_planes, seed)
     sig = embeddings.select(
         F.col(id_col).alias("doc_id"), F.col(vec_col).alias("vec")

@@ -628,6 +628,55 @@ def zero_fill(series: dict, months: list[tuple[int, int]]) -> list:
     return [(y, m, series.get((y, m), Decimal("0"))) for y, m in months]
 
 
+def cartoes_writer_rows(h50_map: dict, h100_map: dict,
+                        months: list[tuple[int, int]],
+                        minutes_mode: bool = False):
+    """K3 writer oracle (``_write_cartoes_csv``,
+    ficha_financeira_processor.py:1035-1080): range months in order, then
+    ``missing_months`` (100%-keys in neither the 50%-map nor the range)
+    appended sorted. Returns (rows, include_extra_100) with
+    rows = [(year, month, v50, v100, is_extra)].
+    """
+    if minutes_mode:
+        h50_map = {k: convert_minutes_value(v) for k, v in h50_map.items()}
+        h100_map = {k: convert_minutes_value(v) for k, v in h100_map.items()}
+    include = any(v != Decimal("0") for v in h100_map.values())
+    ordered = list(months)
+    missing = [k for k in h100_map
+               if k not in h50_map and k not in ordered]
+    rows = []
+    for y, m in ordered:
+        rows.append((y, m, h50_map.get((y, m), Decimal("0")),
+                     h100_map.get((y, m), Decimal("0")), False))
+    for y, m in sorted(missing):
+        rows.append((y, m, h50_map.get((y, m), Decimal("0")),
+                     h100_map.get((y, m), Decimal("0")), True))
+    return rows, include
+
+
+def horas_writer_rows(h_map: dict, f_map: dict,
+                      months: list[tuple[int, int]],
+                      minutes_mode: bool = False):
+    """K4 writer oracle (``_write_horas_trabalhadas_csv``, :1082-1119):
+    range months in order, then ``additional_months`` (keys of either
+    series outside the range) appended sorted. Returns
+    [(year, month, vh, vf, is_extra)]."""
+    if minutes_mode:
+        h_map = {k: convert_minutes_value(v) for k, v in h_map.items()}
+        f_map = {k: convert_minutes_value(v) for k, v in f_map.items()}
+    ordered = list(months)
+    additional = sorted(k for k in set(h_map) | set(f_map)
+                        if k not in ordered)
+    rows = []
+    for y, m in ordered:
+        rows.append((y, m, h_map.get((y, m), Decimal("0")),
+                     f_map.get((y, m), Decimal("0")), False))
+    for y, m in additional:
+        rows.append((y, m, h_map.get((y, m), Decimal("0")),
+                     f_map.get((y, m), Decimal("0")), True))
+    return rows
+
+
 def iterate_months(start: tuple[int, int], end: tuple[int, int]):
     y, m = start
     while (y, m) <= end:

@@ -817,8 +817,8 @@ def sim_lsh_topk(spark, sf_dir):
     emb = T(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_vec"))
-    return lsh_topk(emb, queries, k=10, n_tables=16, n_planes=4).select(
-        "query_id", "neighbor_id", "rank")
+    return lsh_topk(emb, queries, k=10, n_tables=16, n_planes=4,
+                    dim=64).select("query_id", "neighbor_id", "rank")
 
 
 @q("multimodal_features")

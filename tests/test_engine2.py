@@ -151,6 +151,68 @@ def test_pinned_golden_values():
     assert orc.convert_minutes_value(Decimal("9.305")) == Decimal("9.305")
 
 
+def test_cartoes_writer_byte_identical(long_df):
+    """K3 writer parity incl. the out-of-range month append
+    (reference :1059-1065): months in the 100%-series but in neither the
+    50%-series nor the requested range are appended sorted after the
+    range. The narrow range guarantees planted out-of-range blocks."""
+    golden = _oracle_values(N_DOCS)
+    start, end = (2019, 1), (2020, 12)
+    months = list(orc.iterate_months(start, end))
+    tbl = e2.cartoes_table(e2.values_table(long_df), start, end)
+    got: dict[str, list] = {}
+    for r in tbl.collect():
+        got.setdefault(r.url, []).append(r)
+
+    n_extra = 0
+    for url, g in golden.items():
+        if not any(g["values"].values()):
+            continue
+        want_rows, include = orc.cartoes_writer_rows(
+            g["values"].get("6-Horas", {}), g["values"].get("14-Horas100", {}),
+            months)
+        want = e2.render_cartoes_csv(
+            [(f"{m:02d}/{y:04d}", orc.format_decimal(v50),
+              orc.format_decimal(v100))
+             for y, m, v50, v100, _ in want_rows], include)
+        have_rows = sorted(got[url], key=lambda r: (r.is_extra, r.year, r.month))
+        assert all(r.include_extra_100 == include for r in have_rows), url
+        have = e2.render_cartoes_csv(
+            [(r.periodo, r.hora_extra_50, r.hora_extra_100)
+             for r in have_rows], include)
+        assert want == have, url
+        n_extra += sum(1 for *_, ex in want_rows if ex)
+    assert n_extra > 0, "corpus must exercise the append path"
+
+
+def test_horas_writer_byte_identical(long_df):
+    """K4 writer parity incl. additional_months append (:1094-1100)."""
+    golden = _oracle_values(N_DOCS)
+    start, end = (2019, 1), (2020, 12)
+    months = list(orc.iterate_months(start, end))
+    tbl = e2.horas_trabalhadas_table(e2.values_table(long_df), start, end)
+    got: dict[str, list] = {}
+    for r in tbl.collect():
+        got.setdefault(r.url, []).append(r)
+
+    n_extra = 0
+    for url, g in golden.items():
+        if not any(g["values"].values()):
+            continue
+        want_rows = orc.horas_writer_rows(
+            g["values"].get("1-Salario", {}),
+            g["values"].get("952-FaltaInjustifica", {}), months)
+        want = e2.render_horas_csv(
+            [(f"{m:02d}/{y:04d}", orc.format_decimal(vh), orc.format_decimal(vf))
+             for y, m, vh, vf, _ in want_rows])
+        have_rows = sorted(got[url], key=lambda r: (r.is_extra, r.year, r.month))
+        have = e2.render_horas_csv(
+            [(r.periodo, r.horas_trab, r.faltas) for r in have_rows])
+        assert want == have, url
+        n_extra += sum(1 for *_, ex in want_rows if ex)
+    assert n_extra > 0, "corpus must exercise the append path"
+
+
 def test_minutes_mode_spark_matches_oracle(long_df):
     start, end = (2019, 1), (2021, 12)
     tbl = e2.cartoes_table(e2.values_table(long_df), start, end, minutes_mode=True)

@@ -81,7 +81,7 @@ def test_cosine_topk_exact_and_lsh_agree(embeddings):
     # LSH recall: true NNs here are weak (cos≈0.35 → ~67°), so use many
     # short tables (16×4 → expected recall@1 ≈ 0.94 at these angles)
     approx = similarity.lsh_topk(embeddings, queries, k=5,
-                                 n_tables=16, n_planes=4)
+                                 n_tables=16, n_planes=4, dim=64)
     arows = approx.collect()
     exact_top1 = {r.query_id: r.neighbor_id for r in rows if r.rank == 1}
     a_top1 = {r.query_id: r.neighbor_id for r in arows if r.rank == 1}
@@ -98,7 +98,7 @@ def test_embedding_near_duplicates_planted(embeddings, spark):
     extra = spark.createDataFrame([(999_000, v2, 0)],
                                   "vec_id long, embedding array<float>, label int")
     aug = embeddings.unionByName(extra)
-    pairs = similarity.embedding_near_duplicates(aug, threshold=0.999)
+    pairs = similarity.embedding_near_duplicates(aug, threshold=0.999, dim=64)
     found = {(p.a, p.b) for p in pairs.collect()}
     assert (0, 999_000) in found
 

@@ -57,6 +57,28 @@ def test_e2_kernel_is_shuffle_free(spark):
     assert plan.count("Exchange") <= 2
 
 
+def test_lsh_plan_build_triggers_no_job(spark, sf_dir):
+    """Building the ANN plans must not run a driver-side probe job
+    (dim is a required parameter, not inferred via .first())."""
+    from pdf_extractor_spark.ops import similarity
+
+    sc = spark.sparkContext
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.limit(3).select(F.col("vec_id").alias("query_id"),
+                            F.col("embedding").alias("q_vec"))
+    sc.setJobGroup("lsh-plan-build", "plan construction only")
+    try:
+        df1 = similarity.lsh_topk(emb, q, k=3, dim=64)
+        df2 = similarity.embedding_near_duplicates(emb, dim=64)
+        assert df1 is not None and df2 is not None
+        assert sc.statusTracker().getJobIdsForGroup("lsh-plan-build") == []
+    finally:
+        sc.setJobGroup("lsh-plan-sanity", "mechanism sanity")
+    # sanity: the tracker does see jobs once an action runs
+    df1.count()
+    assert sc.statusTracker().getJobIdsForGroup("lsh-plan-sanity") != []
+
+
 def test_zero_fill_dim_is_broadcast(spark):
     from pdf_extractor_spark import datagen
 
