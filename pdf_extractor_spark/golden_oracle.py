@@ -1,0 +1,277 @@
+"""Pure-Python golden-result oracles for the driver queries that have
+no direct SQL formulation (engine pipelines, MinHash/SimHash LSH,
+hyperplane ANN, multimodal features).
+
+Everything here is computed WITHOUT Spark, from the same behavioral
+spec as the Spark ops (oracle_ref for extraction semantics, the public
+xxHash64 algorithm via ``xxh64.py`` for hashing, IEEE-double sequential
+folds for dot products). ``tools/make_goldens.py`` serializes these to
+``goldens/sf0_01/*.parquet`` which the ``oracle_sql()`` entries read via
+DuckDB ``read_parquet``; ``tests/test_goldens.py`` cross-checks every
+oracle against the live Spark queries at sf0.001 so the generator code
+itself is pinned.
+
+Float-parity notes:
+* dot products / norms replicate Spark's ``F.aggregate`` left-fold in
+  array-index order (sequential Python float ops — bit-identical IEEE
+  doubles); numpy reductions would reassociate and are NOT used where a
+  value is compared.
+* ``spark_round`` replicates ROUND(double, n): BigDecimal HALF_UP over
+  the shortest-roundtrip rendering (Python ``repr`` == Java
+  ``Double.toString`` digits).
+"""
+
+from __future__ import annotations
+
+import math
+import re
+from decimal import ROUND_HALF_UP, Decimal
+
+from . import datagen, oracle_ref as orc
+from .ops.dedup import MERSENNE, _perm_params
+from .ops.multimodal import MEDIA_TYPES, _fake_feature, feature_fingerprint
+from .ops.similarity import _hyperplanes
+from .xxh64 import spark_xxhash64
+
+# ---------------------------------------------------------------------------
+# shared scalar replicas of the Spark expressions
+# ---------------------------------------------------------------------------
+
+# Java regex \s is ASCII-only: [ \t\n\x0B\f\r]
+_JAVA_WS = re.compile(r"[ \t\n\x0B\f\r]+")
+
+
+def normalize_text(text: str) -> str:
+    """dedup.normalize_text: trim(spaces) → lower → collapse \\s+."""
+    return _JAVA_WS.sub(" ", text.strip(" ").lower())
+
+
+def shingles(text: str, k: int = 5) -> list[str]:
+    words = normalize_text(text).split(" ")
+    if len(words) >= k:
+        return [" ".join(words[i:i + k]) for i in range(len(words) - k + 1)]
+    return [" ".join(words)]
+
+
+def spark_round(x: float, scale: int) -> float:
+    """ROUND(double, scale): BigDecimal.valueOf(x).setScale(HALF_UP)."""
+    return float(Decimal(repr(x)).quantize(
+        Decimal(1).scaleb(-scale), rounding=ROUND_HALF_UP))
+
+
+def _dot(a: list[float], b: list[float]) -> float:
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc = acc + x * y
+    return acc
+
+
+def _norm(a: list[float]) -> float:
+    acc = 0.0
+    for x in a:
+        acc = acc + x * x
+    return math.sqrt(acc)
+
+
+def _augment(doc_rows: list[tuple[int, str]]) -> list[tuple[int, str]]:
+    """The planted-duplicate augmentation used by the dedup queries."""
+    return doc_rows + [(i + 1_000_000, t) for i, t in doc_rows if i < 5]
+
+
+# ---------------------------------------------------------------------------
+# corpus-curation goldens (documents/embeddings tables)
+# ---------------------------------------------------------------------------
+
+def multimodal_features_golden(doc_rows: list[tuple[int, str]]) -> list[dict]:
+    out = []
+    for doc_id, text in doc_rows:
+        payload = (text or "").encode("utf-8")
+        vec = _fake_feature(payload, 16).tolist()
+        out.append(dict(
+            doc_id=doc_id,
+            media_type=MEDIA_TYPES[doc_id % 3],
+            n_bytes=len(payload),
+            feature_fp=feature_fingerprint(vec),
+            decode_ok=True,
+        ))
+    return out
+
+
+def _minhash_signature(text: str, perms, k: int = 5) -> list[int]:
+    hs = [spark_xxhash64(s) % MERSENNE for s in set(shingles(text, k))]
+    return [min((h * a + b) % MERSENNE for h in hs) for a, b in perms]
+
+
+def dedup_minhash_golden(doc_rows: list[tuple[int, str]], k: int = 5,
+                         n_perm: int = 64, bands: int = 16,
+                         threshold: float = 0.8, seed: int = 42,
+                         max_bucket: int = 1000) -> list[dict]:
+    docs = _augment(doc_rows)
+    perms = _perm_params(n_perm, seed)
+    rows = n_perm // bands
+    sig = {i: _minhash_signature(t, perms, k) for i, t in docs}
+    sets = {i: set(shingles(t, k)) for i, t in docs}
+
+    buckets: dict[tuple[int, int], list[int]] = {}
+    for i, s in sig.items():
+        for bi in range(bands):
+            bh = spark_xxhash64(*s[bi * rows:(bi + 1) * rows])
+            buckets.setdefault((bi, bh), []).append(i)
+    cand = set()
+    for members in buckets.values():
+        if len(members) > max_bucket:
+            continue
+        ms = sorted(members)
+        for x in range(len(ms)):
+            for y in range(x + 1, len(ms)):
+                if ms[x] != ms[y]:
+                    cand.add((ms[x], ms[y]))
+    out = []
+    for a, b in sorted(cand):
+        inter = len(sets[a] & sets[b])
+        jac = inter / (len(sets[a]) + len(sets[b]) - inter)
+        if jac >= threshold:
+            out.append(dict(a=a, b=b, jaccard=spark_round(jac, 6)))
+    return out
+
+
+def _simhash(text: str, bits: int = 64) -> int:
+    toks = normalize_text(text).split(" ")
+    votes = [0] * bits
+    for t in toks:
+        h = spark_xxhash64(t)
+        for b in range(bits):
+            votes[b] += 1 if (h >> b) & 1 else -1
+    acc = 0
+    for b in range(bits - 1):  # sign bit skipped, as in the Spark op
+        if votes[b] > 0:
+            acc += 1 << b
+    return acc
+
+
+def dedup_simhash_golden(doc_rows: list[tuple[int, str]],
+                         max_hamming: int = 3) -> list[dict]:
+    docs = _augment(doc_rows)
+    sig = {i: _simhash(t) for i, t in docs}
+    buckets: dict[tuple[int, int], list[int]] = {}
+    for i, s in sig.items():
+        for c in range(4):
+            buckets.setdefault((c, (s >> (c * 16)) & 0xFFFF, ), []).append(i)
+    cand = set()
+    for members in buckets.values():
+        ms = sorted(members)
+        for x in range(len(ms)):
+            for y in range(x + 1, len(ms)):
+                cand.add((ms[x], ms[y]))
+    out = []
+    for a, b in sorted(cand):
+        ham = bin(sig[a] ^ sig[b]).count("1")
+        if ham <= max_hamming:
+            out.append(dict(a=a, b=b, hamming=ham))
+    return out
+
+
+def sim_lsh_topk_golden(emb_rows: list[tuple[int, list[float]]],
+                        k: int = 10, n_tables: int = 16, n_planes: int = 4,
+                        dim: int = 64, seed: int = 42) -> list[dict]:
+    """Replicates ops.similarity.lsh_topk(queries = vec_id < 5)."""
+    queries = [(i, v) for i, v in emb_rows if i < 5]
+    tables = []
+    for t in range(n_tables):
+        planes = _hyperplanes(dim, n_planes, seed + 1000 * t)
+        tables.append([[float(x) for x in p] for p in planes])
+
+    def buckets(vec):
+        out = []
+        for t, planes in enumerate(tables):
+            acc = 0
+            for i, p in enumerate(planes):
+                if _dot(vec, p) >= 0:
+                    acc += 1 << i
+            out.append((t, acc))
+        return out
+
+    qb = {qi: set(buckets(qv)) for qi, qv in queries}
+    cand: dict[int, set[int]] = {qi: set() for qi, _ in queries}
+    for ni, nv in emb_rows:
+        nb = set(buckets(nv))
+        for qi, qbs in qb.items():
+            if ni != qi and nb & qbs:
+                cand[qi].add(ni)
+
+    vecs = dict(emb_rows)
+    out = []
+    for qi, qv in queries:
+        nq = _norm(qv)
+        scored = []
+        for ni in cand[qi]:
+            nv = vecs[ni]
+            cos = _dot(nv, qv) / (_norm(nv) * nq)
+            scored.append((cos, ni))
+        scored.sort(key=lambda t: (-t[0], t[1]))
+        for rank, (cos, ni) in enumerate(scored[:k], start=1):
+            out.append(dict(query_id=qi, neighbor_id=ni, rank=rank))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# engine-pipeline goldens (synthetic corpus, pure function of n_docs)
+# ---------------------------------------------------------------------------
+
+def _corpus(n_docs: int, seed: int = 42):
+    return [datagen.gen_row(seed, i) for i in range(n_docs)]
+
+
+def e1_values_golden(n_docs: int) -> list[dict]:
+    out = []
+    for r in _corpus(n_docs):
+        if "folha" not in r["url"]:
+            continue
+        g = orc.e1_extract_doc(r["text"])
+        for ft in ("FOLHA NORMAL", "13 SALARIO"):
+            for (y, m), res in g[ft].items():
+                for col, val in res["data"].items():
+                    is_time = isinstance(val, str)
+                    out.append(dict(
+                        url=r["url"], folha_type=ft, year=y, month=m,
+                        excel_col=col,
+                        value_num=None if is_time else float(val),
+                        value_txt=val if is_time else None,
+                    ))
+    return out
+
+
+def e1_person_names_golden(n_docs: int) -> list[dict]:
+    return [dict(url=r["url"], person_name=orc.e1_person_name(r["text"]))
+            for r in _corpus(n_docs) if "folha" in r["url"]]
+
+
+def e2_proventos_golden(n_docs: int, code: str = "3123-Base",
+                        start=(2019, 1), end=(2021, 12)) -> list[dict]:
+    months = list(orc.iterate_months(start, end))
+    out = []
+    for r in _corpus(n_docs):
+        if "ficha" not in r["url"]:
+            continue
+        g = orc.e2_extract_doc(r["html"], r["text"])
+        if not any(g["values"].values()):
+            continue
+        orc.apply_vacation_adjustments(g["values"])
+        for y, m, v in orc.zero_fill(g["values"].get(code, {}), months):
+            out.append(dict(url=r["url"], year=y, month=m,
+                            mes_ano=f"{m:02d}/{y:04d}",
+                            valor=orc.format_decimal(v)))
+    return out
+
+
+def audit_metrics_golden(n_docs: int, run_id: str = "driver-check") -> list[dict]:
+    out = []
+    for r in _corpus(n_docs):
+        if "ficha" not in r["url"]:
+            continue
+        g = orc.e2_extract_doc(r["html"], r["text"])
+        out.append(dict(url=r["url"], pages=g["pages"], decode_failures=0,
+                        conflicts=g["conflicts"],
+                        carry_expired=g["carry_expired"],
+                        person=g["person_name"], run_id=run_id))
+    return out
