@@ -30,7 +30,9 @@ def sf_of(sf_dir: str) -> str:
 
 
 def corpus_path(n_docs: int) -> str:
-    return f"/tmp/spark_graft_bench/corpus_{n_docs}"
+    from pdf_extractor_spark.datagen import DATAGEN_REV
+
+    return f"/tmp/spark_graft_bench/corpus_r{DATAGEN_REV}_{n_docs}"
 
 
 def ensure_corpus(spark, n_docs: int) -> str:
@@ -76,10 +78,11 @@ def run_bench(spark, sf_dir: str) -> dict:
 
     # Engine-2: layout kernel → adjustment → zero-filled formatted series
     def bench_e2():
-        long_df = e2.extract_ficha(pages)
-        adj = e2.apply_vacation_adjustments_df(e2.values_table(long_df))
+        long_df = e2.extract_ficha(pages, adjust_vacation=True).persist()
+        adj = e2.values_table(long_df)
         n = e2.default_series_table(adj, "3123-Base", (2019, 1), (2021, 12)).count()
         n += e2.metrics_table(long_df).count()
+        long_df.unpersist()
         return n
 
     counters["e2_rows"] = timed("e2_extract", bench_e2)

@@ -39,8 +39,8 @@ for it in range(n_iters):
     d1 = time.time() - t0
 
     t0 = time.time()
-    long_df = e2.extract_ficha(pages)
-    adj = e2.apply_vacation_adjustments_df(e2.values_table(long_df))
+    long_df = e2.extract_ficha(pages, adjust_vacation=True)
+    adj = e2.values_table(long_df)
     n2 = adj.count()
     d2 = time.time() - t0
     spark.catalog.clearCache()

@@ -93,8 +93,10 @@ def main() -> None:
     e1_attention.write.mode("append").parquet(f"{out}/e1_attention")
 
     # ---- Engine 2 ------------------------------------------------------
-    long_df = e2.extract_ficha(pages).persist()
-    vals = e2.apply_vacation_adjustments_df(e2.values_table(long_df))
+    # A6 adjustment fused into the kernel (per-document math — saves the
+    # pivot + three joins of the relational form; byte-identical, pinned)
+    long_df = e2.extract_ficha(pages, adjust_vacation=True).persist()
+    vals = e2.values_table(long_df)
     e2.default_series_table(vals, "3123-Base", start, end) \
         .write.mode("append").parquet(f"{out}/proventos")
     e2.default_series_table(vals, "8-Insalubridade", start, end) \

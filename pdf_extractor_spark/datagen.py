@@ -40,6 +40,10 @@ from .payload import Word, encode_layout
 
 BASE_TS = _dt.datetime(2025, 7, 14, 19, 3, 42)
 
+# bump whenever generated content changes — benchmark corpus caches key
+# on it so stale corpora are never reused
+DATAGEN_REV = 2
+
 MONTH_FULL = [
     "janeiro", "fevereiro", "março", "abril", "maio", "junho",
     "julho", "agosto", "setembro", "outubro", "novembro", "dezembro",

@@ -1,11 +1,13 @@
-"""Engine-2 layout-extraction kernel (Arrow-batched, numpy-vectorized).
+"""Engine-2 layout-extraction kernel (Arrow-batched event-stream).
 
 Re-expresses the reference's per-word Python loops
 (``processors/ficha_financeira_processor.py:387-852``: column-center
 detection G1, center carry-forward G2, month-block segmentation G3/G4,
 cross-page block carry G5, row assembly G6, nearest-center value→month
-assignment G7) as columnar numpy operations over the flattened word-box
-node array of each page.
+assignment G7) over the flattened word-box node array of each page.
+Inner loops are deliberately scalar Python over ~10-word line groups
+(measured faster than numpy indexing at that size — see ``_Page``);
+numpy is used only where whole-page vector math wins.
 
 Execution shape: the pages table holds ONE ROW PER DOCUMENT, so the
 kernel runs under ``mapInPandas`` — embarrassingly parallel, zero
@@ -30,8 +32,10 @@ from typing import Iterator
 
 import pandas as pd
 
+import numpy as np
+
 from ..oracle_ref import e2_person_name  # shared scalar; test-parity critical
-from ..payload import decode_layout
+from ..payload import MAGIC, decode_layout, decode_layout_columnar
 
 # storage-code config (reference TARGET_CODES, ficha_financeira_processor.py:53-71)
 TARGET_CODES = [
@@ -92,13 +96,13 @@ class _Page:
     (G3 sorting)."""
 
     __slots__ = ("texts", "norm", "x0", "x1", "top", "bottom", "line_key",
-                 "cy", "cx", "is_num", "n", "key_groups")
+                 "cy", "cx", "is_num", "n", "key_groups", "group_span",
+                 "origin_cache")
 
     def __init__(self, words: list) -> None:
         n = len(words)
         self.n = n
         self.texts = [w[0] for w in words]
-        self.norm = [_norm_one(t) for t in self.texts]
         self.x0 = [w[1] for w in words]
         self.x1 = [w[2] for w in words]
         self.top = [w[3] for w in words]
@@ -107,11 +111,43 @@ class _Page:
         self.line_key = [round(w[5] * 100) for w in words]
         self.cy = [(w[3] + w[4]) / 2.0 for w in words]
         self.cx = [(w[1] + w[2]) / 2.0 for w in words]
+        self._derive()
+
+    @classmethod
+    def from_cols(cls, texts, x0, x1, top, bottom, line_key, cy, cx):
+        """Columnar-payload constructor (lists pre-materialized from the
+        v2 block decode — no per-word tuple traffic)."""
+        pg = cls.__new__(cls)
+        pg.n = len(texts)
+        pg.texts = texts
+        pg.x0, pg.x1, pg.top, pg.bottom = x0, x1, top, bottom
+        pg.line_key, pg.cy, pg.cx = line_key, cy, cx
+        pg._derive()
+        return pg
+
+    def _derive(self) -> None:
+        self.norm = [_norm_one(t) for t in self.texts]
         self.is_num = [NUMBER_RE.match(t) is not None for t in self.texts]
         groups: dict[int, list[int]] = {}
         for i, k in enumerate(self.line_key):
             groups.setdefault(k, []).append(i)
         self.key_groups = groups
+        # per-group y span: a provably-empty-row precheck for G6
+        self.group_span = {
+            k: (min(self.top[i] for i in g), max(self.bottom[i] for i in g))
+            for k, g in groups.items()
+        }
+        self.origin_cache: dict[int, tuple] = {}
+
+    def origin(self, i: int) -> tuple:
+        """Word-box identity key for the reference's occurrence dedup
+        (:558-571); memoized — anchors are re-probed once per block."""
+        o = self.origin_cache.get(i)
+        if o is None:
+            o = (round(self.top[i] * 100), round(self.bottom[i] * 100),
+                 round(self.x0[i] * 100), round(self.x1[i] * 100))
+            self.origin_cache[i] = o
+        return o
 
 
 def _column_centers(pg: _Page) -> tuple[list[float], list[float]]:
@@ -162,24 +198,43 @@ def _month_blocks(pg: _Page, page_h: float, comp: list[float],
 _BOUNDARY = set("0123456789.,")
 
 
+def _build_prefix_dispatch() -> dict[str, list[tuple[str, bool, int]]]:
+    """First-character dispatch table over the distinct normalized
+    prefixes: one pass over the page's words replaces 13 full scans
+    (same match + numeric-boundary semantics, reference :564-567)."""
+    seen: set[str] = set()
+    by_char: dict[str, list[tuple[str, bool, int]]] = {}
+    for _code, _col, prefix, _alias in TARGET_CODES:
+        npfx = _norm_prefix(prefix)
+        if npfx in seen:
+            continue
+        seen.add(npfx)
+        by_char.setdefault(npfx[0], []).append(
+            (npfx, npfx.isdigit(), len(npfx)))
+    return by_char
+
+
+_PFX_DISPATCH: dict | None = None  # built lazily (_norm_prefix defined below)
+
+
 def _prefix_masks(pg: _Page) -> dict[str, list[int]]:
     """Per-page candidate word indices for every target prefix."""
+    global _PFX_DISPATCH
+    if _PFX_DISPATCH is None:
+        _PFX_DISPATCH = _build_prefix_dispatch()
     masks: dict[str, list[int]] = {}
-    norm = pg.norm
-    for code, _col, prefix, _alias in TARGET_CODES:
-        npfx = _norm_prefix(prefix)
-        if npfx in masks:
+    dispatch = _PFX_DISPATCH
+    for i, t in enumerate(pg.norm):
+        cands = dispatch.get(t[:1])
+        if not cands:
             continue
-        if npfx.isdigit():
-            # numeric prefix boundary: next char must not be digit/','/'.'
-            # (reference :564-567 — '952' must not match '9521')
-            ln = len(npfx)
-            idxs = [i for i, t in enumerate(norm)
-                    if t.startswith(npfx)
-                    and (len(t) <= ln or t[ln] not in _BOUNDARY)]
-        else:
-            idxs = [i for i, t in enumerate(norm) if t.startswith(npfx)]
-        masks[npfx] = idxs
+        for npfx, numeric, ln in cands:
+            if not t.startswith(npfx):
+                continue
+            if numeric and len(t) > ln and t[ln] in _BOUNDARY:
+                # '952' must not match '9521' / '952,3'
+                continue
+            masks.setdefault(npfx, []).append(i)
     return masks
 
 
@@ -261,9 +316,14 @@ def run_pages(raw_pages: list, page_h: float, state: PageRunState,
     first_full_header: int | None = None
 
     for pi, words in enumerate(raw_pages):
-        if not words:
-            continue
-        pg = _Page(words)
+        if isinstance(words, _Page):
+            if words.n == 0:
+                continue
+            pg = words
+        else:
+            if not words:
+                continue
+            pg = _Page(words)
         comp, valor = _column_centers(pg)
         if comp and valor and first_full_header is None:
             first_full_header = pi
@@ -297,21 +357,31 @@ def run_pages(raw_pages: list, page_h: float, state: PageRunState,
             code_max_x = max(0.0, min(bounds) - 12.0) if bounds else None
 
             for code, column, prefix, alias in TARGET_CODES:
-                cand = pfx_masks[_norm_prefix(prefix)]
+                cand = pfx_masks.get(_norm_prefix(prefix))
+                if not cand:
+                    continue
                 if code_max_x is not None:
                     idxs = [i for i in cand if pg.x1[i] <= code_max_x]
                 else:
                     idxs = cand
                 if not idxs:
                     continue
+                y_start, y_end = block["y_start"], block["y_end"]
                 seen: set = set()
                 for ai in idxs:
-                    origin = (round(pg.top[ai] * 100), round(pg.bottom[ai] * 100),
-                              round(pg.x0[ai] * 100), round(pg.x1[ai] * 100))
+                    a_top, a_bot = pg.top[ai] - 0.5, pg.bottom[ai] + 0.5
+                    row_top = y_start if y_start > a_top else a_top
+                    row_bot = y_end if y_end < a_bot else a_bot
+                    # provably-empty precheck: no word of the anchor's
+                    # line group overlaps the clamped row band
+                    g_top, g_bot = pg.group_span[pg.line_key[ai]]
+                    if g_bot < row_top or g_top > row_bot:
+                        continue
+                    origin = pg.origin(ai)
                     if origin in seen:
                         continue
                     seen.add(origin)
-                    got = _row_values(pg, ai, block, column)
+                    got = _row_values(pg, ai, block, column, row_top, row_bot)
                     if not got:
                         continue
                     has_vals = True
@@ -353,17 +423,78 @@ def fold_events(events: list) -> tuple[dict, int, int]:
     return values, conflicts, carry_expired
 
 
-def _extract_doc(url: str, html, text: str) -> tuple[list, list]:
+def decode_pages_fast(html) -> tuple[float, list]:
+    """Payload → (page_h, pages). v2 payloads decode columnar (block
+    float decode + one text split) straight into `_Page` objects —
+    no per-word tuples; v1 JSON falls back to the tuple view."""
+    if html is None or len(html) == 0:
+        return 0.0, []
+    if bytes(html[:4]) == MAGIC:
+        page_h, counts, texts, cols = decode_layout_columnar(html)
+        x0, x1, top, bottom = (cols[i].tolist() for i in range(4))
+        # same arithmetic as the scalar path: round-half-even of
+        # doctop*100 (np.rint == Python round for binary doubles),
+        # (top+bottom)/2 exact in IEEE either way
+        line_key = np.rint(cols[4] * 100.0).astype(np.int64).tolist()
+        cy = ((cols[2] + cols[3]) / 2.0).tolist()
+        cx = ((cols[0] + cols[1]) / 2.0).tolist()
+        pages = []
+        a = 0
+        for n in counts.tolist():
+            b = a + n
+            pages.append(_Page.from_cols(
+                texts[a:b], x0[a:b], x1[a:b], top[a:b], bottom[a:b],
+                line_key[a:b], cy[a:b], cx[a:b]))
+            a = b
+        return page_h, pages
+    return decode_layout(html)
+
+
+def apply_vacation_values(values: dict) -> None:
+    """A6 vacation adjustment, fused per-document (in place):
+    3123-Base[key] += 527-Valor / (527-Comp / 100) wherever both 527
+    series exist and comp != 0. Exactly the arithmetic of the relational
+    path (``pipeline.apply_vacation_adjustments_df`` /
+    ``brnum.decimal_div_pct_udf``): default-context Decimal division,
+    canonical-string roundtrip. Per (url, year, month) the adjustment is
+    document-local, so fusing it into the kernel costs zero shuffles —
+    the relational form pays a pivot + three joins. Byte-identical
+    output is pinned by tests/test_engine2.py."""
+    comp = values.get("527-INSS-Comp")
+    valor = values.get("527-INSS-Valor")
+    if not comp or not valor:
+        return
+    base = values.setdefault("3123-Base", {})
+    for key, c in comp.items():
+        v = valor.get(key)
+        if v is None:
+            continue
+        dc = Decimal(c)
+        if dc == 0:
+            continue
+        divisor = dc / Decimal("100")
+        if divisor == 0:
+            continue
+        additional = Decimal(v) / divisor
+        old = base.get(key)
+        base[key] = str(Decimal(old) + additional) if old is not None \
+            else str(additional)
+
+
+def _extract_doc(url: str, html, text: str,
+                 adjust_vacation: bool = False) -> tuple[list, list]:
     """One document → (value rows, metrics row-values)."""
     decode_failures = 0
     try:
-        page_h, raw_pages = decode_layout(html)
+        page_h, raw_pages = decode_pages_fast(html)
     except Exception:
         page_h, raw_pages = 0.0, []
         decode_failures += 1
 
     events, _state, _ffh = run_pages(raw_pages, page_h, PageRunState())
     values, conflicts, carry_expired = fold_events(events)
+    if adjust_vacation:
+        apply_vacation_values(values)
 
     rows = []
     for code in sorted(values):
@@ -376,13 +507,13 @@ def _extract_doc(url: str, html, text: str) -> tuple[list, list]:
     return rows, metrics
 
 
-def _row_values(pg: _Page, anchor: int, block: dict,
-                column: int) -> list[tuple[tuple[int, int], str]]:
+def _row_values(pg: _Page, anchor: int, block: dict, column: int,
+                row_top: float, row_bot: float) -> list[tuple[tuple[int, int], str]]:
     """G6 row assembly + G7 nearest-center month assignment for one
     anchor. Candidates share the anchor's line key (a ~10-word group),
-    so this runs scalar over the key group instead of masking the page."""
-    row_top = max(block["y_start"], pg.top[anchor] - 0.5)
-    row_bot = min(block["y_end"], pg.bottom[anchor] + 0.5)
+    so this runs scalar over the key group instead of masking the page.
+    row_top/row_bot are the block-clamped band (computed at the call
+    site, which prechecks group overlap)."""
     min_x = pg.x0[anchor] - 1.0
     code_cy = pg.cy[anchor]
 
@@ -424,15 +555,25 @@ def _row_values(pg: _Page, anchor: int, block: dict,
     return out
 
 
-def extract_ficha_long(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """mapInPandas entry: pages-table batches → long extraction rows."""
+def make_extract_kernel(adjust_vacation: bool = False):
+    """mapInPandas kernel factory: pages-table batches → long rows.
+    `adjust_vacation=True` fuses the A6 adjustment into the per-document
+    pass (shuffle-free; see apply_vacation_values)."""
     cols = ["url", "code", "year", "month", "value",
             "pages", "decode_failures", "conflicts", "carry_expired",
             "person"]
-    for pdf in batches:
-        out_rows: list = []
-        for url, html, text in zip(pdf["url"], pdf["html"], pdf["text"]):
-            rows, metrics = _extract_doc(url, html, text)
-            out_rows.extend(rows)
-            out_rows.append(metrics)
-        yield pd.DataFrame(out_rows, columns=cols)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_rows: list = []
+            for url, html, text in zip(pdf["url"], pdf["html"], pdf["text"]):
+                rows, metrics = _extract_doc(url, html, text, adjust_vacation)
+                out_rows.extend(rows)
+                out_rows.append(metrics)
+            yield pd.DataFrame(out_rows, columns=cols)
+
+    return kernel
+
+
+# default (unadjusted) kernel — public mapInPandas entry
+extract_ficha_long = make_extract_kernel(False)

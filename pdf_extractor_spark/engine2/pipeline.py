@@ -33,7 +33,12 @@ from ..functions.brnum import (
     decimal_div_pct_udf,
     format_decimal_udf,
 )
-from .kernel import E2_LONG_SCHEMA, METRICS_CODE, extract_ficha_long
+from .kernel import (
+    E2_LONG_SCHEMA,
+    METRICS_CODE,
+    extract_ficha_long,
+    make_extract_kernel,
+)
 
 FERIAS_CODES = ["167-Ferias", "168-Ferias", "173-Ferias", "174-Ferias"]
 INSS_COMP, INSS_VALOR = "527-INSS-Comp", "527-INSS-Valor"
@@ -41,7 +46,8 @@ BASE_CODE = "3123-Base"
 
 
 def extract_ficha(pages_df: DataFrame, with_layout_only: bool = True,
-                  repartition: bool | None = None) -> DataFrame:
+                  repartition: bool | None = None,
+                  adjust_vacation: bool = False) -> DataFrame:
     """pages table → long extraction rows (+ per-doc __metrics__ rows).
 
     Shuffle-free in the normal case: one input row per document, straight
@@ -52,6 +58,10 @@ def extract_ficha(pages_df: DataFrame, with_layout_only: bool = True,
     For truly oversized single documents use
     engine2.salted.extract_ficha_salted (page-range split + exact
     carry-state handoff).
+
+    `adjust_vacation=True` fuses the A6 adjustment into the kernel
+    (per-document math — zero extra shuffles; byte-identical to
+    `apply_vacation_adjustments_df`, pinned by tests).
     """
     df = pages_df.select("url", "html", "text")
     if with_layout_only:
@@ -61,7 +71,8 @@ def extract_ficha(pages_df: DataFrame, with_layout_only: bool = True,
         repartition = df.rdd.getNumPartitions() < n_part
     if repartition:
         df = df.repartition(n_part)
-    return df.mapInPandas(extract_ficha_long, schema=E2_LONG_SCHEMA)
+    kernel = make_extract_kernel(True) if adjust_vacation else extract_ficha_long
+    return df.mapInPandas(kernel, schema=E2_LONG_SCHEMA)
 
 
 def values_table(long_df: DataFrame) -> DataFrame:

@@ -758,8 +758,7 @@ def extract_e2_proventos(spark, sf_dir):
     from .engine2 import pipeline as e2
 
     pages = corpus_df(spark, _corpus_docs_for(sf_dir))
-    vals = e2.values_table(e2.extract_ficha(pages))
-    adj = e2.apply_vacation_adjustments_df(vals)
+    adj = e2.values_table(e2.extract_ficha(pages, adjust_vacation=True))
     return e2.default_series_table(adj, "3123-Base", (2019, 1), (2021, 12))
 
 

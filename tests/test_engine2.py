@@ -151,6 +151,19 @@ def test_pinned_golden_values():
     assert orc.convert_minutes_value(Decimal("9.305")) == Decimal("9.305")
 
 
+def test_fused_adjustment_equals_relational(corpus, long_df):
+    """A6 fused in the kernel (adjust_vacation=True) must be
+    byte-identical to the relational pivot+join form."""
+    fused = e2.values_table(
+        e2.extract_ficha(corpus, adjust_vacation=True)).collect()
+    rel = e2.apply_vacation_adjustments_df(
+        e2.values_table(long_df)).collect()
+    key = lambda r: (r.url, r.code, r.year, r.month)  # noqa: E731
+    f = {key(r): r.value for r in fused}
+    g = {key(r): r.value for r in rel}
+    assert f == g
+
+
 def test_cartoes_writer_byte_identical(long_df):
     """K3 writer parity incl. the out-of-range month append
     (reference :1059-1065): months in the 100%-series but in neither the
