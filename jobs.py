@@ -29,7 +29,8 @@ from pyspark.sql import functions as F  # noqa: E402
 from pdf_extractor_spark.engine1 import pipeline as e1  # noqa: E402
 from pdf_extractor_spark.engine2 import pipeline as e2  # noqa: E402
 from pdf_extractor_spark.session import get_spark  # noqa: E402
-from pdf_extractor_spark.sinks import audit, merge, resume  # noqa: E402
+from pdf_extractor_spark.sinks import audit, resume  # noqa: E402
+from pdf_extractor_spark.sinks.tableio import get_table_io  # noqa: E402
 
 
 def parse_period(s: str) -> tuple[int, int]:
@@ -46,6 +47,11 @@ def main() -> None:
     ap.add_argument("--start", default="2019-01")
     ap.add_argument("--end", default="2021-12")
     ap.add_argument("--minutes-mode", action="store_true")
+    ap.add_argument("--table-format", choices=["parquet", "iceberg"],
+                    default="parquet",
+                    help="parquet = snapshot dirs + version-hint pointer "
+                         "(Hadoop FS API, object-store safe); iceberg = "
+                         "native MERGE INTO/snapshots (needs runtime jars)")
     args = ap.parse_args()
 
     start, end = parse_period(args.start), parse_period(args.end)
@@ -56,6 +62,13 @@ def main() -> None:
 
     spark = get_spark(f"extract-{args.run_id}")
     out = args.out.rstrip("/")
+    if args.table_format == "iceberg":
+        from pdf_extractor_spark.sinks.tableio import IcebergTableIO
+
+        if not IcebergTableIO.available(spark):
+            ap.error("--table-format iceberg requires the Iceberg "
+                     "runtime jars + SQL extensions on the classpath")
+    io = get_table_io(args.table_format, out)
     manifest = f"{out}/manifest"
 
     pages = spark.read.parquet(args.pages)
@@ -73,46 +86,35 @@ def main() -> None:
         F.coalesce(F.col("value")["txt"],
                    F.col("value")["num"].cast("string")).alias("value"),
     )
-    # keyed fill-if-empty sink (Excel-cell semantics on a parquet table)
-    target_path = f"{out}/e1_target"
-    try:
-        target = spark.read.parquet(target_path)
-    except Exception:
-        target = e1_flat.limit(0)
-    merged = merge.merge_if_empty(
-        target, e1_flat,
+    # keyed fill-if-empty sink (Excel-cell semantics): MERGE INTO on
+    # Iceberg, snapshot-dir + version-hint pointer flip on parquet —
+    # either way no driver-local filesystem operations
+    io.merge_fill_if_empty(
+        spark, "e1_target", e1_flat,
         keys=["url", "folha_type", "year", "month", "excel_col"])
-    # parquet can't overwrite its own input: stage then atomic swap
-    # (Iceberg MERGE INTO gives this snapshot semantics natively)
-    import shutil
-
-    staged = f"{target_path}__staged"
-    merged.write.mode("overwrite").parquet(staged)
-    shutil.rmtree(target_path, ignore_errors=True)
-    shutil.move(staged, target_path)
-    e1_attention.write.mode("append").parquet(f"{out}/e1_attention")
+    io.append(e1_attention, "e1_attention")
 
     # ---- Engine 2 ------------------------------------------------------
     # A6 adjustment fused into the kernel (per-document math — saves the
     # pivot + three joins of the relational form; byte-identical, pinned)
     long_df = e2.extract_ficha(pages, adjust_vacation=True).persist()
     vals = e2.values_table(long_df)
-    e2.default_series_table(vals, "3123-Base", start, end) \
-        .write.mode("append").parquet(f"{out}/proventos")
-    e2.default_series_table(vals, "8-Insalubridade", start, end) \
-        .write.mode("append").parquet(f"{out}/insalubridade")
-    e2.cartoes_table(vals, start, end, minutes_mode=args.minutes_mode) \
-        .write.mode("append").parquet(f"{out}/cartoes")
-    e2.horas_trabalhadas_table(vals, start, end,
-                               minutes_mode=args.minutes_mode) \
-        .write.mode("append").parquet(f"{out}/horas_trabalhadas")
+    io.append(e2.default_series_table(vals, "3123-Base", start, end),
+              "proventos")
+    io.append(e2.default_series_table(vals, "8-Insalubridade", start, end),
+              "insalubridade")
+    io.append(e2.cartoes_table(vals, start, end,
+                               minutes_mode=args.minutes_mode), "cartoes")
+    io.append(e2.horas_trabalhadas_table(vals, start, end,
+                                         minutes_mode=args.minutes_mode),
+              "horas_trabalhadas")
 
     # ---- lineage + resume ----------------------------------------------
     classified = e1.classify_pages(e1.explode_pages(pages))
-    audit.write_audit(e1.page_metrics(classified), f"{out}/audit_e1",
-                      args.run_id)
-    audit.write_audit(e2.metrics_table(long_df), f"{out}/audit_e2",
-                      args.run_id)
+    io.append(audit.build_audit(e1.page_metrics(classified), args.run_id),
+              "audit_e1")
+    io.append(audit.build_audit(e2.metrics_table(long_df), args.run_id),
+              "audit_e2")
     resume.update_manifest(pages.select("url"), manifest, args.run_id)
 
     n = pages.count()

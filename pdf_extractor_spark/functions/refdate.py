@@ -46,7 +46,16 @@ def _month_map_lit() -> Column:
 
 def reference_date_cols(text: Column) -> tuple[Column, Column]:
     """Returns (month, year) int columns; both null when no date found
-    (the page is then silently skipped — a decode-failure metric)."""
+    (the page is then silently skipped — a decode-failure metric).
+
+    Short-circuit shape: the first pattern ('Referência:') matches the
+    overwhelming majority of real pages, so it is evaluated alone and
+    the remaining five regexes sit in the `otherwise` branch of one
+    CASE WHEN — codegen evaluates them only when pattern 1 yields no
+    valid candidate (pattern-order priority is unchanged: a page with
+    pattern-1 matches that are ALL invalid still falls through, exactly
+    like the reference cascade). Kept to two branches so the expression
+    stays inside the JVM 64KB codegen-method limit."""
     mmap = _month_map_lit()
 
     def candidates(pat: str) -> Column:
@@ -59,13 +68,17 @@ def reference_date_cols(text: Column) -> tuple[Column, Column]:
             ),
         )
 
-    allc = F.concat(*[candidates(p) for p in DATE_PATTERNS])
-    valid = F.filter(
-        allc,
-        lambda c: F.element_at(mmap, c["mes"]).isNotNull()
-        | F.coalesce(c["mes"].try_cast("int").between(1, 12), F.lit(False)),
-    )
-    first = F.try_element_at(valid, F.lit(1))
+    def valid(arr: Column) -> Column:
+        return F.filter(
+            arr,
+            lambda c: F.element_at(mmap, c["mes"]).isNotNull()
+            | F.coalesce(c["mes"].try_cast("int").between(1, 12), F.lit(False)),
+        )
+
+    v1 = valid(candidates(DATE_PATTERNS[0]))
+    rest = valid(F.concat(*[candidates(p) for p in DATE_PATTERNS[1:]]))
+    first = F.when(F.size(v1) > 0, F.element_at(v1, 1)).otherwise(
+        F.try_element_at(rest, F.lit(1)))
     month = F.coalesce(
         F.element_at(mmap, first["mes"]), first["mes"].try_cast("int")
     )

@@ -134,6 +134,73 @@ def lsh_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
     )
 
 
+def fit_ivf_centroids(embeddings: DataFrame, n_cells: int = 16,
+                      vec_col: str = "embedding", seed: int = 42,
+                      max_iter: int = 20) -> np.ndarray:
+    """IVF coarse quantizer: k-means centroids over the corpus
+    (``pyspark.ml.clustering.KMeans``). This is an EXPLICIT training
+    action (runs Spark jobs) — call it once offline and feed the
+    centroids to `ivf_topk`, which is then a pure lazy plan. At 10^12
+    rows you'd fit on a sample (`embeddings.sample(...)`); the
+    assignment pass below is what must scale, not the fit."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = embeddings.select(
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"))
+    model = KMeans(k=n_cells, seed=seed, maxIter=max_iter).fit(feats)
+    return np.array(model.clusterCenters())
+
+
+def _cell_ranking(vec: Column, centroids: np.ndarray) -> Column:
+    """Array of cell ids ordered by ascending L2 distance to `vec`.
+    argmin_c |x-c|² = argmin_c (|c|² - 2·x·c) — |x|² is constant per
+    row, so only the cross term + centroid norms are computed (JVM
+    expressions, no Python)."""
+    cells = []
+    for ci, c in enumerate(centroids):
+        plane = F.array(*[F.lit(float(x)) for x in c])
+        norm2 = float(np.dot(c, c))
+        score = F.lit(norm2) - F.lit(2.0) * _dot(vec, plane)
+        cells.append(F.struct(score.alias("d"), F.lit(ci).alias("cell")))
+    ranked = F.array_sort(F.array(*cells))
+    return F.transform(ranked, lambda s: s["cell"])
+
+
+def ivf_topk(embeddings: DataFrame, queries: DataFrame,
+             centroids: np.ndarray, k: int = 10, nprobe: int = 4,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             q_id_col: str = "query_id", q_vec_col: str = "q_vec") -> DataFrame:
+    """IVF approximate top-k: corpus rows live in their nearest-centroid
+    cell (one pass, no shuffle of payloads); each query probes its
+    `nprobe` nearest cells; exact cosine re-scoring on probed rows only.
+
+    The scale shape: candidate count ≈ corpus × nprobe / n_cells, and
+    the cell join is an equi-join on a small int key — broadcastable
+    queries make it shuffle-free."""
+    corpus = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("vec")
+    ).withColumn(
+        "cell", F.element_at(_cell_ranking(F.col("vec"), centroids), 1))
+    q = queries.select(F.col(q_id_col).alias("query_id"),
+                       F.col(q_vec_col).alias("q_vec"))
+    q_cells = F.broadcast(
+        q.withColumn(
+            "cell",
+            F.explode(F.slice(_cell_ranking(F.col("q_vec"), centroids),
+                              1, nprobe))))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc())
+    return (
+        corpus.join(q_cells, "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos", cosine(F.col("vec"), F.col("q_vec")))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos")
+    )
+
+
 def embedding_near_duplicates(embeddings: DataFrame, threshold: float = 0.95,
                               id_col: str = "vec_id",
                               vec_col: str = "embedding",

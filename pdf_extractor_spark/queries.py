@@ -467,6 +467,42 @@ def u1_union_keys(spark, sf_dir):
     return a.union(b).distinct()
 
 
+@q("o1_intra_group_sort", """
+SELECT user_id, event_id,
+       ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pos
+FROM events
+""")
+def o1_intra_group_sort(spark, sf_dir):
+    # O1 relational twin: the kernel's per-page word sort (cy, then x0)
+    # = deterministic total order within a partition (G3 order pass,
+    # engine2/kernel.py _month_blocks)
+    e = T(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select("user_id", "event_id",
+                    F.row_number().over(w).alias("pos"))
+
+
+@q("o2_block_order_bounds", """
+WITH blk AS (
+  SELECT user_id, CAST(EXTRACT(day FROM ts) AS INTEGER) AS day,
+         epoch_us(MIN(ts)) AS y_start
+  FROM events GROUP BY 1, 2)
+SELECT user_id, day, y_start,
+       LEAD(y_start) OVER (PARTITION BY user_id ORDER BY y_start) AS next_start
+FROM blk
+""")
+def o2_block_order_bounds(spark, sf_dir):
+    # O2 relational twin: blocks sorted by y_start, each bounded by the
+    # next block's start (G3 sort + G4 LEAD, kernel _month_blocks tail)
+    e = T(spark, sf_dir, "events")
+    blk = e.groupBy(
+        "user_id", F.dayofmonth("ts").cast("int").alias("day")
+    ).agg(F.unix_micros(F.min("ts").cast("timestamp")).alias("y_start"))
+    w = Window.partitionBy("user_id").orderBy("y_start")
+    return blk.select("user_id", "day", "y_start",
+                      F.lead("y_start").over(w).alias("next_start"))
+
+
 # ---------------------------------------------------------------------------
 # Scalar/classifier operators (SURVEY §2.2-2.3)
 # ---------------------------------------------------------------------------

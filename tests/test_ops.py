@@ -89,6 +89,30 @@ def test_cosine_topk_exact_and_lsh_agree(embeddings):
     assert hits >= 3  # recall@1 ≥ 0.6 on 5 queries
 
 
+def test_ivf_topk_recall(embeddings):
+    """IVF (KMeans coarse quantizer + nprobe cells) recall vs the exact
+    baseline; recall should rise with nprobe and hit 1.0 when probing
+    every cell (IVF with nprobe=n_cells is exhaustive)."""
+    queries = embeddings.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_vec"))
+    exact = {(r.query_id, r.rank): r.neighbor_id
+             for r in similarity.cosine_topk(embeddings, queries, k=5).collect()}
+
+    cents = similarity.fit_ivf_centroids(embeddings, n_cells=8)
+    assert cents.shape == (8, 64)
+
+    def recall_at_1(nprobe):
+        rows = similarity.ivf_topk(embeddings, queries, cents, k=5,
+                                   nprobe=nprobe).collect()
+        a1 = {r.query_id: r.neighbor_id for r in rows if r.rank == 1}
+        return sum(exact[(q, 1)] == a1.get(q) for q in {q for q, _ in exact})
+
+    # probing all cells ⇒ identical to exact (strong correctness anchor)
+    assert recall_at_1(8) == 5
+    # a partial probe still finds most true top-1s
+    assert recall_at_1(4) >= 3
+
+
 def test_embedding_near_duplicates_planted(embeddings, spark):
     # plant a near-identical copy of vec 0
     import numpy as np

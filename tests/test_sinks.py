@@ -51,6 +51,45 @@ def test_audit_partition_summary(spark):
     assert all(r.run_id == "r1" for r in summ)
 
 
+def test_parquet_snapshot_tableio(spark, tmp_path):
+    """K1 target via TableIO: snapshot dirs + version-hint pointer
+    (no driver-local FS ops), fill-if-empty across versions, old
+    snapshots retained."""
+    from pdf_extractor_spark.sinks.tableio import ParquetSnapshotTableIO
+
+    io = ParquetSnapshotTableIO(str(tmp_path / "tio"))
+    assert io.read(spark, "t") is None
+
+    u1 = spark.createDataFrame(
+        [("p1", "A", None), ("p2", "A", 2.0)],
+        "period string, col string, value double")
+    io.merge_fill_if_empty(spark, "t", u1, ["period", "col"])
+    got1 = {(r.period, r.col): r.value for r in io.read(spark, "t").collect()}
+    assert got1 == {("p1", "A"): None, ("p2", "A"): 2.0}
+
+    u2 = spark.createDataFrame(
+        [("p1", "A", 7.0), ("p2", "A", 99.0), ("p3", "B", 1.0)],
+        "period string, col string, value double")
+    io.merge_fill_if_empty(spark, "t", u2, ["period", "col"])
+    got2 = {(r.period, r.col): r.value for r in io.read(spark, "t").collect()}
+    assert got2[("p1", "A")] == 7.0   # empty cell filled
+    assert got2[("p2", "A")] == 2.0   # non-empty target wins
+    assert got2[("p3", "B")] == 1.0   # inserted
+
+    # re-running the same merge is a no-op (idempotence)
+    io.merge_fill_if_empty(spark, "t", u2, ["period", "col"])
+    got3 = {(r.period, r.col): r.value for r in io.read(spark, "t").collect()}
+    assert got3 == got2
+
+    # snapshots retained → time travel/resume marker
+    assert io.snapshots(spark, "t") == [1, 2, 3]
+
+    # append-style tables work without snapshots
+    io.append(u1, "log")
+    io.append(u2, "log")
+    assert io.read(spark, "log").count() == 5
+
+
 def test_resume_manifest_roundtrip(spark, tmp_path):
     pages = spark.createDataFrame(datagen.corpus_pandas(30))
     mpath = str(tmp_path / f"manifest_{uuid.uuid4().hex}")
