@@ -122,10 +122,14 @@ def parse_line_numbers(ml: DataFrame) -> DataFrame:
     applied AFTER the (url, page) exchange: inlining them into the
     explode+join stage blows the JVM 64KB generated-method limit
     (interpreted fallback ~3× slower)."""
+    # token_alphabet: toks2 comes from NUM_TOKEN_RE extraction, so the
+    # chars are ⊆ [0-9.,:] — the translate-based parser fast path applies
     indice = F.when(F.col("n_toks") >= 2,
-                    to_float_robust_struct(F.element_at("toks2", -2)))
+                    to_float_robust_struct(F.element_at("toks2", -2),
+                                           token_alphabet=True))
     valor = F.when(F.col("n_toks") >= 1,
-                   to_float_robust_struct(F.element_at("toks2", -1)))
+                   to_float_robust_struct(F.element_at("toks2", -1),
+                                          token_alphabet=True))
     return ml.withColumns({"indice": indice, "valor": valor}) \
              .drop("toks2", "n_toks")
 
@@ -224,8 +228,14 @@ def extract_folha(pages_df: DataFrame) -> tuple[DataFrame, DataFrame]:
     # the explode+join pipeline, and filter pushdown through the exchange
     # re-inlines the big parse expressions into the explode stage (64KB
     # codegen blowup → interpreted fallback). MEMORY_AND_DISK for spill.
+    # Column-prune FIRST: the cached table is re-deserialized by every
+    # branch (9 concurrent exchange jobs), so the fat parse structs
+    # (indice/valor) and rule columns no branch reads must not be
+    # persisted — `use` and the s301/s101 markers already carry what the
+    # branches need (measured: branch phase is cache-read bound).
     from pyspark import StorageLevel
 
+    ml = ml.drop("indice", "valor", "source", "fallback")
     ml = ml.persist(StorageLevel.MEMORY_AND_DISK)
 
     pkey = ["url", "page_idx", "folha_type", "year", "month"]

@@ -51,3 +51,49 @@ def stream_extract_ficha(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_audit_rollup(
+    spark: SparkSession,
+    pages_path: str,
+    out_path: str,
+    checkpoint: str,
+    watermark: str = "1 hour",
+    window_len: str = "1 hour",
+    max_files_per_trigger: int | None = 1,
+):
+    """Event-time ingestion audit: documents per (1-hour warc_ts window,
+    lang), watermarked for late data.
+
+    This is the streaming face of the K5 audit table: at ingest time it
+    answers "how many documents arrived per crawl-hour per language",
+    tolerating `watermark` of out-of-order arrival and DROPPING rows
+    later than that (the standard correctness/completeness trade —
+    finalized windows are emitted exactly once in append mode, so the
+    downstream audit table is append-only and idempotent).
+
+    `max_files_per_trigger=1` makes the file source deliver one file
+    per micro-batch so the watermark actually advances between batches
+    (also the realistic shape: one crawl segment per batch).
+    """
+    reader = spark.readStream.schema(PAGES_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    pages = reader.parquet(pages_path)
+    agg = (
+        pages.withWatermark("warc_ts", watermark)
+        .groupBy(F.window("warc_ts", window_len).alias("w"), "lang")
+        .agg(F.count("*").alias("n_docs"))
+        .select(F.col("w").start.alias("window_start"),
+                F.col("w").end.alias("window_end"), "lang", "n_docs")
+    )
+    # append-mode file sink: finalized windows land exactly once in the
+    # audit parquet (recoverable from the checkpoint, unlike memory sink)
+    return (
+        agg.writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -60,6 +60,30 @@ def test_convert_float_robust_parity(spark_fn, tokens):
             assert not is_time and num == want, (t, want, got[t])
 
 
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(token_st, min_size=1, max_size=40, unique=True))
+def test_token_alphabet_fast_path_parity(spark, tokens):
+    """The translate-based hot path (token_alphabet=True) must agree
+    with the general regex path AND the oracle on every input the
+    numeric-token regex can produce (chars ⊆ [0-9.,:])."""
+    df = spark.createDataFrame([(t,) for t in tokens], "tok string")
+    rows = df.select(
+        "tok",
+        to_float_robust_struct(F.col("tok")).alias("g"),
+        to_float_robust_struct(F.col("tok"), token_alphabet=True).alias("f"),
+    ).collect()
+    for r in rows:
+        assert tuple(r.g) == tuple(r.f), (r.tok, r.g, r.f)
+        want = orc.convert_to_float_robust(r.tok)
+        if isinstance(want, str):
+            assert r.f.is_time and r.f.txt == want
+        elif want is None:
+            assert r.f.num is None and not r.f.is_time
+        else:
+            assert not r.f.is_time and r.f.num == want
+
+
 dec_st = st.decimals(min_value=Decimal("-99999999"),
                      max_value=Decimal("99999999"),
                      allow_nan=False, allow_infinity=False, places=None)

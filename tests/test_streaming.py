@@ -16,6 +16,58 @@ def _await(q, timeout=120):
     q.awaitTermination(timeout)
 
 
+def test_watermarked_audit_rollup_drops_late_rows(spark, tmp_path):
+    """Event-time windowed audit agg: finalized 1h windows emit exactly
+    once; rows arriving later than the watermark are dropped."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from pdf_extractor_spark.streaming import stream_audit_rollup
+
+    pages_dir = str(tmp_path / "wpages")
+    ckpt = str(tmp_path / "wckpt")
+    t0 = dt.datetime(2025, 7, 14, 10, 0, 0)
+
+    def mkfile(rows, name):
+        pdf = pd.DataFrame([
+            {"url": f"synth://x/{i}", "warc_ts": ts, "html": b"",
+             "text": "t", "lang": lang}
+            for i, (ts, lang) in enumerate(rows)
+        ])
+        spark.createDataFrame(pdf, datagen.PAGES_SCHEMA).coalesce(1) \
+            .write.mode("append").parquet(pages_dir)
+
+    out_dir = str(tmp_path / "wout")
+
+    def run(name):
+        # separate availableNow runs share the checkpoint: the watermark
+        # persists across restarts, which makes batch boundaries (and
+        # therefore late-row semantics) deterministic — within one run
+        # the file source's batch ordering is not guaranteed
+        q = stream_audit_rollup(spark, pages_dir, out_dir, ckpt,
+                                max_files_per_trigger=None)
+        q.awaitTermination(180)
+
+    # run 1: three docs in the 10:00 window → watermark 10:40-1h
+    mkfile([(t0, "pt"), (t0 + dt.timedelta(minutes=20), "pt"),
+            (t0 + dt.timedelta(minutes=40), "en")], "f1")
+    run("wm_audit1")
+    # run 2: far ahead (14:00) → watermark advances past 10:00+1h
+    mkfile([(t0 + dt.timedelta(hours=4), "pt")], "f2")
+    run("wm_audit2")
+    # run 3: a LATE row back in the 10:00 window — beyond the watermark,
+    # must be dropped; the finalized 10:00 windows emit in this run
+    mkfile([(t0 + dt.timedelta(minutes=30), "pt")], "f3")
+    run("wm_audit3")
+
+    out = {(r.window_start.hour, r.lang): r.n_docs
+           for r in spark.read.parquet(out_dir).collect()}
+    # the 10:00 window finalized with the ON-TIME counts only
+    assert out.get((10, "pt")) == 2, out
+    assert out.get((10, "en")) == 1, out
+
+
 def test_stream_matches_batch_and_is_incremental(spark, tmp_path):
     pages_dir = str(tmp_path / "pages")
     out = str(tmp_path / "out")
