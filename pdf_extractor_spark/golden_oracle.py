@@ -214,6 +214,115 @@ def sim_lsh_topk_golden(emb_rows: list[tuple[int, list[float]]],
     return out
 
 
+def dedup_ngram_golden(doc_rows: list[tuple[int, str]], k: int = 3,
+                       threshold: float = 0.5,
+                       max_df: int = 100) -> list[dict]:
+    """Replicates ops.dedup.ngram_jaccard_pairs over the augmented
+    corpus: inverted-index candidates from shingles with document
+    frequency ≤ max_df, exact full-set Jaccard ≥ threshold."""
+    docs = _augment(doc_rows)
+    sets = {i: set(shingles(t, k)) for i, t in docs}
+    df: dict[str, int] = {}
+    for s in sets.values():
+        for sh in s:
+            df[sh] = df.get(sh, 0) + 1
+    inv: dict[str, list[int]] = {}
+    for i, s in sets.items():
+        for sh in s:
+            if df[sh] <= max_df:
+                inv.setdefault(sh, []).append(i)
+    cand: set[tuple[int, int]] = set()
+    for members in inv.values():
+        ms = sorted(members)
+        for x in range(len(ms)):
+            for y in range(x + 1, len(ms)):
+                cand.add((ms[x], ms[y]))
+    out = []
+    for a, b in sorted(cand):
+        inter = len(sets[a] & sets[b])
+        jac = inter / (len(sets[a]) + len(sets[b]) - inter)
+        if jac >= threshold:
+            out.append(dict(a=a, b=b, jaccard=spark_round(jac, 6)))
+    return out
+
+
+def sim_embedding_neardup_golden(emb_rows: list[tuple[int, list[float]]],
+                                 threshold: float = 0.95,
+                                 n_planes: int = 12, dim: int = 64,
+                                 seed: int = 42) -> list[dict]:
+    """Replicates ops.similarity.embedding_near_duplicates over the
+    augmented embeddings (vec_id < 5 replanted at +1e6 → exact-copy
+    pairs with cos 1.0; random 64-dim pairs never reach 0.95)."""
+    rows = emb_rows + [(i + 1_000_000, v) for i, v in emb_rows if i < 5]
+    pl = [[float(x) for x in p] for p in _hyperplanes(dim, n_planes, seed)]
+
+    def bucket(v: list[float]) -> int:
+        acc = 0
+        for i, p in enumerate(pl):
+            if _dot(v, p) >= 0:
+                acc += 1 << i
+        return acc
+
+    by_bucket: dict[int, list[int]] = {}
+    for i, v in rows:
+        by_bucket.setdefault(bucket(v), []).append(i)
+    vecs = dict(rows)
+    cand: set[tuple[int, int]] = set()
+    for members in by_bucket.values():
+        ms = sorted(members)
+        for x in range(len(ms)):
+            for y in range(x + 1, len(ms)):
+                cand.add((ms[x], ms[y]))
+    out = []
+    for a, b in sorted(cand):
+        va, vb = vecs[a], vecs[b]
+        cos = _dot(va, vb) / (_norm(va) * _norm(vb))
+        if cos >= threshold:
+            out.append(dict(a=a, b=b, cos=spark_round(cos, 6)))
+    return out
+
+
+def sim_ivf_topk_golden(emb_rows: list[tuple[int, list[float]]],
+                        k: int = 10, nprobe: int = 4,
+                        n_cells: int = 16) -> list[dict]:
+    """Replicates queries.sim_ivf_topk: centroids = the first `n_cells`
+    corpus vectors (deterministic training stand-in), cell score
+    |c|² − 2·x·c with |c|² via np.dot (same literal the Spark query
+    embeds), sequential-fold cross terms, probe `nprobe` cells, exact
+    cosine re-score, rank by (cos desc, neighbor_id asc)."""
+    import numpy as np
+
+    centroids = [v for i, v in emb_rows if i < n_cells]
+    norm2 = [float(np.dot(np.array(c, dtype=np.float64),
+                          np.array(c, dtype=np.float64)))
+             for c in centroids]
+
+    def cell_ranking(v: list[float]) -> list[int]:
+        scored = sorted((norm2[ci] - 2.0 * _dot(v, c), ci)
+                        for ci, c in enumerate(centroids))
+        return [ci for _, ci in scored]
+
+    queries = [(i, v) for i, v in emb_rows if i < 5]
+    probe = {qi: set(cell_ranking(qv)[:nprobe]) for qi, qv in queries}
+    corpus_cell = {ni: cell_ranking(nv)[0] for ni, nv in emb_rows}
+    vecs = dict(emb_rows)
+    out = []
+    for qi, qv in queries:
+        nq = _norm(qv)
+        scored = []
+        for ni, cell in corpus_cell.items():
+            if ni == qi or cell not in probe[qi]:
+                continue
+            nv = vecs[ni]
+            cos = _dot(nv, qv) / (_norm(nv) * nq)
+            scored.append((cos, ni))
+        scored.sort(key=lambda t: (-t[0], t[1]))
+        for rank, (cos, ni) in enumerate(scored[:k], start=1):
+            out.append(dict(query_id=qi, neighbor_id=ni, rank=rank,
+                            cos=spark_round(cos, 6)))
+    return out
+
+
 # ---------------------------------------------------------------------------
 # engine-pipeline goldens (synthetic corpus, pure function of n_docs)
 # ---------------------------------------------------------------------------

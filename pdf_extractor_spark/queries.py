@@ -875,6 +875,58 @@ def sim_lsh_topk(spark, sf_dir):
                     dim=64).select("query_id", "neighbor_id", "rank")
 
 
+@q("dedup_ngram_jaccard", _golden_sql("dedup_ngram_jaccard"))
+def dedup_ngram_jaccard(spark, sf_dir):
+    """n-gram (k=3) Jaccard near-dup pairs: inverted-index candidate
+    generation over rare shingles, exact full-set verification."""
+    from .ops.dedup import ngram_jaccard_pairs
+
+    d = T(spark, sf_dir, "documents").select("doc_id", "text")
+    aug = d.unionByName(
+        d.filter(F.col("doc_id") < 5)
+        .withColumn("doc_id", F.col("doc_id") + 1000000))
+    pairs = ngram_jaccard_pairs(aug, k=3, threshold=0.5)
+    return pairs.select("a", "b", F.round("jaccard", 6).alias("jaccard"))
+
+
+@q("sim_embedding_neardup", _golden_sql("sim_embedding_neardup"))
+def sim_embedding_neardup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs via one hyperplane bucket table
+    + exact cosine verify (planted exact copies at vec_id+1e6)."""
+    from .ops.similarity import embedding_near_duplicates
+
+    emb = T(spark, sf_dir, "embeddings")
+    aug = emb.unionByName(
+        emb.filter(F.col("vec_id") < 5)
+        .withColumn("vec_id", F.col("vec_id") + 1000000))
+    pairs = embedding_near_duplicates(aug, threshold=0.95, n_planes=12,
+                                      dim=64)
+    return pairs.select("a", "b", F.round("cos", 6).alias("cos"))
+
+
+@q("sim_ivf_topk", _golden_sql("sim_ivf_topk"))
+def sim_ivf_topk(spark, sf_dir):
+    """IVF ANN with deterministic data-derived coarse centroids (the
+    first 16 corpus vectors, one small collect = the offline training
+    step; KMeans-quality centroids are `fit_ivf_centroids`, covered by
+    the pytest recall tests). The driver-checked part is the
+    assign/probe/re-score dataflow itself."""
+    import numpy as np
+
+    from .ops.similarity import ivf_topk
+
+    emb = T(spark, sf_dir, "embeddings")
+    cent = (emb.filter(F.col("vec_id") < 16).orderBy("vec_id")
+            .select("embedding").collect())
+    centroids = np.array([r[0] for r in cent], dtype=np.float64)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_vec"))
+    out = ivf_topk(emb, queries, centroids, k=10, nprobe=4)
+    return out.select("query_id", "neighbor_id", "rank",
+                      F.round("cos", 6).alias("cos"))
+
+
 @q("multimodal_features", _golden_sql("multimodal_features"))
 def multimodal_features(spark, sf_dir):
     from .ops.multimodal import extract_features, synth_media_table

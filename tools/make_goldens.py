@@ -35,6 +35,13 @@ SCHEMAS = {
     "sim_lsh_topk": pa.schema([
         ("query_id", pa.int64()), ("neighbor_id", pa.int64()),
         ("rank", pa.int32())]),
+    "dedup_ngram_jaccard": pa.schema([
+        ("a", pa.int64()), ("b", pa.int64()), ("jaccard", pa.float64())]),
+    "sim_embedding_neardup": pa.schema([
+        ("a", pa.int64()), ("b", pa.int64()), ("cos", pa.float64())]),
+    "sim_ivf_topk": pa.schema([
+        ("query_id", pa.int64()), ("neighbor_id", pa.int64()),
+        ("rank", pa.int32()), ("cos", pa.float64())]),
     "extract_e1_values": pa.schema([
         ("url", pa.string()), ("folha_type", pa.string()),
         ("year", pa.int32()), ("month", pa.int32()),
@@ -67,6 +74,9 @@ def build_goldens(sf_dir: str, n_corpus_docs: int) -> dict[str, list[dict]]:
         "dedup_minhash_lsh": G.dedup_minhash_golden(docs, threshold=0.8),
         "dedup_simhash": G.dedup_simhash_golden(docs, max_hamming=3),
         "sim_lsh_topk": G.sim_lsh_topk_golden(embs),
+        "dedup_ngram_jaccard": G.dedup_ngram_golden(docs, threshold=0.5),
+        "sim_embedding_neardup": G.sim_embedding_neardup_golden(embs),
+        "sim_ivf_topk": G.sim_ivf_topk_golden(embs),
         "extract_e1_values": G.e1_values_golden(n_corpus_docs),
         "extract_e1_person_names": G.e1_person_names_golden(n_corpus_docs),
         "extract_e2_proventos": G.e2_proventos_golden(n_corpus_docs),
