@@ -49,8 +49,12 @@ def classify_pages(page_rows: DataFrame) -> DataFrame:
     # one tipo line per page; keeps the classifier small enough for
     # whole-stage codegen — the array/lambda form blew the JVM's 64KB
     # generated-method limit once duplicated into the explode stage).
+    # (?m)^-anchored so the engine only attempts matches at line starts:
+    # the unanchored form retries every character position, backtracking
+    # through [^\n]* once per offset (quadratic per line). Same leftmost
+    # match — the first line containing `Tipo da folha:`.
     tipo_line = F.regexp_extract(
-        F.col("page"), r"(?iU)[^\n]*Tipo\s+da\s+folha\s*:[^\n]*", 0)
+        F.col("page"), r"(?iUm)^[^\n]*Tipo\s+da\s+folha\s*:[^\n]*", 0)
     header = F.array_join(F.slice(F.split(F.col("page"), "\n"), 1, 10), "\n")
 
     folha_type = (
