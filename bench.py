@@ -104,6 +104,12 @@ def run_bench(spark, sf_dir: str) -> dict:
 
     counters["dedup_minhash_lsh"] = timed("dedup_minhash_lsh", bench_minhash)
 
+    # flagship curation composition (quality → lang → exact dedup →
+    # near-dup removal, incl. its own MinHash pass over the planted set)
+    counters["curate_corpus"] = timed(
+        "curate_corpus",
+        lambda: Q.QUERIES["curate_corpus"](spark, sf_dir).count())
+
     n_folha = pages.filter(F.col("url").startswith("synth://folha")).count()
     n_ficha = pages.filter(F.col("url").startswith("synth://ficha")).count()
 

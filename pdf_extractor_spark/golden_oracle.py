@@ -106,7 +106,14 @@ def dedup_minhash_golden(doc_rows: list[tuple[int, str]], k: int = 5,
                          n_perm: int = 64, bands: int = 16,
                          threshold: float = 0.8, seed: int = 42,
                          max_bucket: int = 1000) -> list[dict]:
-    docs = _augment(doc_rows)
+    return _minhash_pairs(_augment(doc_rows), k, n_perm, bands,
+                          threshold, seed, max_bucket)
+
+
+def _minhash_pairs(docs: list[tuple[int, str]], k: int = 5,
+                   n_perm: int = 64, bands: int = 16,
+                   threshold: float = 0.8, seed: int = 42,
+                   max_bucket: int = 1000) -> list[dict]:
     perms = _perm_params(n_perm, seed)
     rows = n_perm // bands
     sig = {i: _minhash_signature(t, perms, k) for i, t in docs}
@@ -212,6 +219,27 @@ def sim_lsh_topk_golden(emb_rows: list[tuple[int, list[float]]],
         for rank, (cos, ni) in enumerate(scored[:k], start=1):
             out.append(dict(query_id=qi, neighbor_id=ni, rank=rank))
     return out
+
+
+def _curate_plant(doc_rows: list[tuple[int, str]]) -> list[tuple[int, str]]:
+    """The control-planting used by the curate_corpus query: exact
+    copies (+1e6, exact-dedup stage), one-token-appended perturbed
+    copies (+2e6, near-dup stage), and two low-quality docs (+3e6,
+    token-floor / digit-ceiling gates)."""
+    out = list(doc_rows)
+    out += [(i + 1_000_000, t) for i, t in doc_rows if i < 3]
+    out += [(i + 2_000_000, t + " perturbedcopy") for i, t in doc_rows
+            if i < 3]
+    out.append((3_000_000, "1 2 3"))
+    out.append((3_000_001, "1 2 3 4 5 6"))
+    return out
+
+
+def curate_neardup_pairs_golden(doc_rows: list[tuple[int, str]],
+                                **kw) -> list[dict]:
+    """MinHash-LSH pairs over the curate-planted corpus — the one
+    non-SQL-expressible input of the curate_corpus oracle."""
+    return _minhash_pairs(_curate_plant(doc_rows), **kw)
 
 
 def dedup_ngram_golden(doc_rows: list[tuple[int, str]], k: int = 3,

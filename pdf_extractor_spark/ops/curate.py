@@ -1,0 +1,89 @@
+"""End-to-end corpus curation: the composed training-data pipeline
+(quality gate → language filter → exact dedup → near-dup removal) that
+the individual ops in ``textstats``/``dedup`` exist to serve.
+
+Stage order and mechanics (the standard web-corpus shape):
+
+1. **Quality gate** — token floor + digit/punct ceilings. One pass of
+   codegen'd expressions over the scan; at 100 TB this is the cheapest
+   stage and removes the most bytes, so it runs first (filters push
+   into the parquet scan's output immediately).
+2. **Language filter** — stopword-vote lang id, keep an allow-list.
+   Same pass as (1): Catalyst collapses both into one projection.
+3. **Exact dedup** — keep the minimum doc_id per normalized-content
+   md5 group. One uniform-hash shuffle (window over the digest).
+4. **Near-dup removal** — anti-join against the `b` side of a
+   near-duplicate pair table (callers supply
+   ``dedup.minhash_lsh_pairs``/``simhash_pairs``/
+   ``similarity.embedding_near_duplicates`` output — the pair
+   generator stays pluggable). Pairs carry a < b, so dropping every
+   `b` keeps exactly one representative (the smallest id) per
+   duplicate chain. The pair table is ≪ corpus by construction
+   (bucketed + capped candidates), so the anti-join broadcasts.
+
+Everything is lazy DataFrame composition — no action is triggered
+here, and no stage materializes the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .dedup import normalize_text
+
+# parity-safe stopword alternations (ASCII \b semantics identical in
+# Java regex and DuckDB's RE2 — single-letter and prefix-ambiguous
+# words excluded): the same lists the oracled lang-id query pins.
+PT_WORDS = "de|da|do|que|em|para|com|uma|os|as|dos|das|no|na|por|se"
+EN_WORDS = "the|of|and|to|in|is|that|it|for|on|was|with|as|at|by|be|this"
+
+
+def curate_corpus(docs: DataFrame, near_dup_pairs: DataFrame | None = None,
+                  id_col: str = "doc_id", text_col: str = "text",
+                  min_tokens: int = 5, max_digit_ratio: float = 0.2,
+                  max_punct_ratio: float = 0.3,
+                  keep_langs: tuple[str, ...] = ("pt", "en")) -> DataFrame:
+    """Returns the curated corpus as (doc_id, lang_pred, n_tokens).
+
+    `near_dup_pairs`: optional (a, b, …) DataFrame with a < b; every
+    doc appearing as `b` is dropped (stage 4). Pass the output of any
+    pair generator from ``ops.dedup`` / ``ops.similarity``.
+    """
+    t = F.col(text_col)
+    trimmed = F.trim(t)
+    n_tokens = (F.when(trimmed == "", 0)
+                .otherwise(F.size(F.split(trimmed, r"\s+"))))
+    n_chars = F.length(t)
+    safe_chars = F.greatest(n_chars, F.lit(1))
+    digit_ratio = F.length(F.regexp_replace(t, r"[^0-9]", "")) / safe_chars
+    punct_ratio = F.length(F.regexp_replace(t, r"[^.,;:!?]", "")) / safe_chars
+    pt = F.size(F.regexp_extract_all(
+        t, F.lit(rf"(?i)\b({PT_WORDS})\b"), F.lit(0)))
+    en = F.size(F.regexp_extract_all(
+        t, F.lit(rf"(?i)\b({EN_WORDS})\b"), F.lit(0)))
+    lang_pred = (F.when((pt == 0) & (en == 0), "und")
+                 .when(pt >= en, "pt").otherwise("en"))
+
+    feat = docs.select(
+        F.col(id_col).alias("doc_id"),
+        n_tokens.cast("bigint").alias("n_tokens"),
+        digit_ratio.alias("digit_ratio"),
+        punct_ratio.alias("punct_ratio"),
+        lang_pred.alias("lang_pred"),
+        F.md5(normalize_text(t)).alias("content_hash"),
+    )
+    gated = feat.filter(
+        (F.col("n_tokens") >= min_tokens)
+        & (F.col("digit_ratio") <= max_digit_ratio)
+        & (F.col("punct_ratio") <= max_punct_ratio)
+        & F.col("lang_pred").isin(*keep_langs)
+    )
+    w = Window.partitionBy("content_hash").orderBy("doc_id")
+    exact_kept = (gated.withColumn("rn", F.row_number().over(w))
+                  .filter(F.col("rn") == 1))
+    out = exact_kept.select("doc_id", "lang_pred", "n_tokens")
+    if near_dup_pairs is not None:
+        drop = near_dup_pairs.select(F.col("b").alias("doc_id")).distinct()
+        out = out.join(F.broadcast(drop), "doc_id", "left_anti")
+    return out

@@ -927,6 +927,74 @@ def sim_ivf_topk(spark, sf_dir):
                       F.round("cos", 6).alias("cos"))
 
 
+def _curate_sql() -> str:
+    # hybrid oracle: the quality/lang/exact-dedup stages are pure SQL
+    # over the same planted corpus; only the MinHash near-dup pair set
+    # (non-SQL-expressible) is fed from the pure-Python golden parquet.
+    return f"""
+WITH planted AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 3
+  UNION ALL SELECT doc_id + 2000000, text || ' perturbedcopy'
+            FROM documents WHERE doc_id < 3
+  UNION ALL SELECT 3000000 AS doc_id, '1 2 3' AS text
+  UNION ALL SELECT 3000001, '1 2 3 4 5 6'
+), feat AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+         END AS n_tokens,
+         length(regexp_replace(text, '[^0-9]', '', 'g'))
+           / GREATEST(length(text), 1) AS digit_ratio,
+         length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
+           / GREATEST(length(text), 1) AS punct_ratio,
+         len(regexp_extract_all(text, '(?i)\\b({_PT})\\b')) AS pt,
+         len(regexp_extract_all(text, '(?i)\\b({_EN})\\b')) AS en,
+         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS h
+  FROM planted
+), gated AS (
+  SELECT *, CASE WHEN pt = 0 AND en = 0 THEN 'und'
+                 WHEN pt >= en THEN 'pt' ELSE 'en' END AS lang_pred
+  FROM feat
+  WHERE n_tokens >= 5 AND digit_ratio <= 0.2 AND punct_ratio <= 0.3
+), langk AS (SELECT * FROM gated WHERE lang_pred IN ('pt', 'en')),
+exact_kept AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id) AS rn
+    FROM langk) WHERE rn = 1
+)
+SELECT doc_id, lang_pred, n_tokens FROM exact_kept
+WHERE doc_id NOT IN (
+  SELECT b FROM read_parquet('{GOLDEN_DIR}/curate_neardup_pairs.parquet'))
+"""
+
+
+@q("curate_corpus", _curate_sql())
+def curate_corpus_pipeline(spark, sf_dir):
+    """Flagship training-data curation composition: quality gate →
+    language filter → exact dedup → MinHash near-dup removal, over the
+    documents table with planted controls (exact copies at +1e6,
+    one-token-perturbed near-dups at +2e6, low-quality docs at +3e6 —
+    each exercising exactly one stage)."""
+    from .ops.curate import curate_corpus
+    from .ops.dedup import minhash_lsh_pairs
+
+    d = T(spark, sf_dir, "documents").select("doc_id", "text")
+    copies = (d.filter(F.col("doc_id") < 3)
+              .withColumn("doc_id", F.col("doc_id") + 1000000))
+    perturbed = (d.filter(F.col("doc_id") < 3)
+                 .withColumn("doc_id", F.col("doc_id") + 2000000)
+                 .withColumn("text",
+                             F.concat("text", F.lit(" perturbedcopy"))))
+    lowq = spark.createDataFrame(
+        [(3000000, "1 2 3"), (3000001, "1 2 3 4 5 6")],
+        "doc_id long, text string")
+    planted = (d.unionByName(copies).unionByName(perturbed)
+               .unionByName(lowq))
+    pairs = minhash_lsh_pairs(planted, threshold=0.8)
+    return curate_corpus(planted, near_dup_pairs=pairs)
+
+
 @q("multimodal_features", _golden_sql("multimodal_features"))
 def multimodal_features(spark, sf_dir):
     from .ops.multimodal import extract_features, synth_media_table

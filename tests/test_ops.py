@@ -165,3 +165,31 @@ def test_multimodal_plumbing(docs, spark):
     plan = multimodal.frame_sample_plan(media, every_ms=60_000)
     n_videos = media.filter(F.col("media_type") == "video").count()
     assert plan.select("doc_id").distinct().count() == n_videos
+
+
+def test_curate_corpus_stages(spark):
+    """Each curation stage drops exactly its planted control."""
+    from pdf_extractor_spark.ops.curate import curate_corpus
+
+    base = [
+        (0, "the table of value and data for the scan of it"),   # en, kept
+        (1, "de da o que para com os valor de da tabela"),       # pt, kept
+        (2, "zzz qqq xxx www vvv uuu"),                          # und → lang drop
+        (3, "1 2 3"),                                            # token floor
+        (4, "1 2 3 4 5 6"),                                      # digit ceiling
+        (5, "the table of value and data for the scan of it"),   # exact dup of 0
+    ]
+    docs = spark.createDataFrame(base, "doc_id long, text string")
+    pairs = spark.createDataFrame([(0, 6)], "a long, b long")  # near-dup claim
+    docs = docs.unionByName(spark.createDataFrame(
+        [(6, "the table of value and data for the scan of it now")],
+        "doc_id long, text string"))
+    out = curate_corpus(docs, near_dup_pairs=pairs)
+    kept = sorted(r.doc_id for r in out.collect())
+    # 2 und, 3 short, 4 digits, 5 exact-dup of 0, 6 near-dup b-side
+    assert kept == [0, 1]
+    row = {r.doc_id: r for r in out.collect()}
+    assert row[0].lang_pred == "en" and row[1].lang_pred == "pt"
+    # without a pair table the near-dup doc survives
+    kept_nond = sorted(r.doc_id for r in curate_corpus(docs).collect())
+    assert kept_nond == [0, 1, 6]

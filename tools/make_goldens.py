@@ -37,6 +37,8 @@ SCHEMAS = {
         ("rank", pa.int32())]),
     "dedup_ngram_jaccard": pa.schema([
         ("a", pa.int64()), ("b", pa.int64()), ("jaccard", pa.float64())]),
+    "curate_neardup_pairs": pa.schema([
+        ("a", pa.int64()), ("b", pa.int64()), ("jaccard", pa.float64())]),
     "sim_embedding_neardup": pa.schema([
         ("a", pa.int64()), ("b", pa.int64()), ("cos", pa.float64())]),
     "sim_ivf_topk": pa.schema([
@@ -75,6 +77,7 @@ def build_goldens(sf_dir: str, n_corpus_docs: int) -> dict[str, list[dict]]:
         "dedup_simhash": G.dedup_simhash_golden(docs, max_hamming=3),
         "sim_lsh_topk": G.sim_lsh_topk_golden(embs),
         "dedup_ngram_jaccard": G.dedup_ngram_golden(docs, threshold=0.5),
+        "curate_neardup_pairs": G.curate_neardup_pairs_golden(docs),
         "sim_embedding_neardup": G.sim_embedding_neardup_golden(embs),
         "sim_ivf_topk": G.sim_ivf_topk_golden(embs),
         "extract_e1_values": G.e1_values_golden(n_corpus_docs),
