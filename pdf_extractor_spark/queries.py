@@ -927,6 +927,58 @@ def sim_ivf_topk(spark, sf_dir):
                       F.round("cos", 6).alias("cos"))
 
 
+_F10_PLANTED = [
+    ("synth://planted/0", "JOÃO DA SILVA"),
+    ("synth://planted/1", "MARIA JOSÉ D'ÁVILA"),
+    ("synth://planted/2", "ANTÔNIO ÇÜÑIGA PEÑA"),
+    ("synth://planted/3", 'BAD<>:"/\\|?*NAME  MULTI   SPACE'),
+    ("synth://planted/4", "???"),
+]
+
+
+def _f10_sql() -> str:
+    vals = ", ".join(
+        "('{}', '{}')".format(u, n.replace("'", "''"))
+        for u, n in _F10_PLANTED)
+    return f"""
+WITH names AS (
+  SELECT url, person_name
+  FROM read_parquet('{GOLDEN_DIR}/extract_e1_person_names.parquet')
+  UNION ALL SELECT * FROM (VALUES {vals}) v(url, person_name)
+)
+SELECT url,
+  CASE WHEN s = '' THEN 'resultado' ELSE s END AS file_slug,
+  (CASE WHEN s = '' THEN 'resultado' ELSE s END)
+    || '_01012020_0000' AS folder_slug,
+  rtrim(left(trim(regexp_replace(regexp_replace(regexp_replace(
+    person_name, '[<>:"/\\\\|?*]', '', 'g'),
+    '[\\x00-\\x1f\\x7f]', '', 'g'), '\\s+', ' ', 'g')), 100))
+    AS filename_norm
+FROM (SELECT url, person_name,
+        regexp_replace(replace(strip_accents(person_name), ' ', '_'),
+                       '[^A-Za-z0-9_-]', '', 'g') AS s
+      FROM names)
+"""
+
+
+@q("f10_filename_slugs", _f10_sql())
+def f10_filename_slugs(spark, sf_dir):
+    """F10 filename-slug projections over the extracted E1 person
+    names + planted accent/special-char controls, with the reference's
+    datetime.now() timestamp injected as a constant."""
+    from .datagen import corpus_df
+    from .engine1.names import person_name_e1
+    from .functions.slug import slug_table
+
+    pages = corpus_df(spark, _corpus_docs_for(sf_dir))
+    names = person_name_e1(
+        pages.filter(F.col("url").startswith("synth://folha")))
+    planted = spark.createDataFrame(
+        _F10_PLANTED, "url string, person_name string")
+    return slug_table(names.unionByName(planted), "01012020_0000") \
+        .select("url", "file_slug", "folder_slug", "filename_norm")
+
+
 def _curate_sql() -> str:
     # hybrid oracle: the quality/lang/exact-dedup stages are pure SQL
     # over the same planted corpus; only the MinHash near-dup pair set

@@ -46,3 +46,23 @@ def test_spark_matches_oracle_pinned(spark):
     got = {r.url: r.person_name for r in person_name_e1(df).collect()}
     for i, t in enumerate(cases):
         assert got[f"t{i}"] == orc.e1_person_name(t), (i, t)
+
+
+def test_f10_slug_semantics(spark):
+    """Reference pins: 100-char truncate + rstrip (pdf_processor_core
+    :261-263), 'resultado' fallback (:1153), NFKD accent strip."""
+    from pdf_extractor_spark.functions.slug import slug_table
+
+    long_name = ("A" * 99) + " B" + ("C" * 50)   # >100 chars, space at 100
+    rows = [("u1", "JOÃO DA SILVA"), ("u2", "???"), ("u3", long_name),
+            ("u4", None)]
+    df = spark.createDataFrame(rows, "url string, person_name string")
+    out = {r.url: r for r in slug_table(df, "01012020_0000").collect()}
+    assert out["u1"].file_slug == "JOAO_DA_SILVA"
+    assert out["u1"].folder_slug == "JOAO_DA_SILVA_01012020_0000"
+    assert out["u1"].filename_norm == "JOÃO DA SILVA"
+    assert out["u2"].file_slug == "resultado"
+    # python: name[:100].rstrip() — cuts at 100 then strips the space
+    assert out["u3"].filename_norm == long_name[:100].rstrip()
+    assert len(out["u3"].filename_norm) == 99
+    assert out["u4"].file_slug is None
