@@ -87,3 +87,21 @@ def test_zero_fill_dim_is_broadcast(spark):
     ser = e2.series_for_code(vals, "3123-Base", (2019, 1), (2019, 12))
     assert "BroadcastNestedLoopJoin" in _plan(ser) or \
         "BroadcastHashJoin" in _plan(ser)
+
+
+def test_curate_near_dup_anti_join_broadcasts(spark, sf_dir):
+    """The near-dup removal must be a broadcast LEFT ANTI join (pairs
+    ≪ corpus by construction) and the quality+lang feature pass must
+    collapse into the scan-side projection, not extra exchanges."""
+    from pdf_extractor_spark.ops.curate import curate_corpus
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = spark.createDataFrame([(1, 2)], "a long, b long")
+    plan = _plan(curate_corpus(docs, near_dup_pairs=pairs))
+    anti = [ln for ln in plan.splitlines() if "LeftAnti" in ln]
+    assert anti and all("Broadcast" in ln for ln in anti)
+    # keyed exchanges: the exact-dedup window over the content hash,
+    # plus at most the tiny pair-table's own distinct — no shuffle for
+    # the gates (fused into the scan-side Filter/Project) or anti-join
+    assert plan.count("Exchange hashpartitioning") <= 2
+    assert "WindowGroupLimit" in plan  # partial top-1 before the exchange
