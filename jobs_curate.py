@@ -1,0 +1,103 @@
+"""spark-submit entry point: corpus curation, end to end.
+
+    spark-submit --py-files dist/pdf_extractor_spark.zip jobs_curate.py \
+        --documents /path/to/documents_parquet --out /path/to/out \
+        --run-id c1 [--near-dup minhash|simhash|none] \
+        [--min-tokens 5 --max-digit-ratio 0.2 --max-punct-ratio 0.3] \
+        [--langs pt,en] [--threshold 0.8]
+
+Stages (the `ops.curate` composition over a documents table):
+  quality gate → language filter → exact dedup → near-dup pair
+  generation (MinHash-LSH or SimHash) → near-dup removal →
+  curated corpus + pair table + curation audit row.
+
+Outputs under --out:
+  curated/         kept documents, all input columns preserved
+  near_dup_pairs/  (a, b, …) pair evidence (when --near-dup != none)
+  audit/           one row: input/kept/pair counts + parameters
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from pdf_extractor_spark.ops.curate import curate_corpus  # noqa: E402
+from pdf_extractor_spark.ops.dedup import (  # noqa: E402
+    minhash_lsh_pairs, simhash_pairs)
+from pdf_extractor_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--documents", required=True)
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--run-id", required=True)
+    ap.add_argument("--id-col", default="doc_id")
+    ap.add_argument("--text-col", default="text")
+    ap.add_argument("--near-dup", choices=["minhash", "simhash", "none"],
+                    default="minhash")
+    ap.add_argument("--threshold", type=float, default=0.8,
+                    help="MinHash Jaccard threshold (minhash mode)")
+    ap.add_argument("--max-hamming", type=int, default=3,
+                    help="SimHash hamming radius (simhash mode)")
+    ap.add_argument("--min-tokens", type=int, default=5)
+    ap.add_argument("--max-digit-ratio", type=float, default=0.2)
+    ap.add_argument("--max-punct-ratio", type=float, default=0.3)
+    ap.add_argument("--langs", default="pt,en")
+    args = ap.parse_args()
+
+    spark = get_spark(f"curate-{args.run_id}")
+    out = args.out.rstrip("/")
+    docs = spark.read.parquet(args.documents).persist()
+
+    if args.near_dup == "minhash":
+        pairs = minhash_lsh_pairs(docs, id_col=args.id_col,
+                                  text_col=args.text_col,
+                                  threshold=args.threshold)
+    elif args.near_dup == "simhash":
+        pairs = simhash_pairs(docs, id_col=args.id_col,
+                              text_col=args.text_col,
+                              max_hamming=args.max_hamming)
+    else:
+        pairs = None
+    if pairs is not None:
+        # materialized once: pair evidence is both an output artifact
+        # and the anti-join input of the kept-set below
+        pairs = pairs.persist()
+        pairs.write.mode("overwrite").parquet(f"{out}/near_dup_pairs")
+
+    kept = curate_corpus(
+        docs, near_dup_pairs=pairs,
+        id_col=args.id_col, text_col=args.text_col,
+        min_tokens=args.min_tokens,
+        max_digit_ratio=args.max_digit_ratio,
+        max_punct_ratio=args.max_punct_ratio,
+        keep_langs=tuple(args.langs.split(",")))
+    curated = docs.join(
+        kept.select(F.col("doc_id").alias(args.id_col)),
+        args.id_col, "left_semi")
+    curated.write.mode("overwrite").parquet(f"{out}/curated")
+
+    n_in, n_kept = docs.count(), curated.count()
+    n_pairs = pairs.count() if pairs is not None else 0
+    audit = spark.createDataFrame(
+        [(args.run_id, n_in, n_kept, n_pairs, args.near_dup,
+          args.min_tokens, float(args.max_digit_ratio),
+          float(args.max_punct_ratio), args.langs)],
+        "run_id string, input_docs long, kept_docs long, "
+        "near_dup_pairs long, near_dup_mode string, min_tokens int, "
+        "max_digit_ratio double, max_punct_ratio double, langs string")
+    audit.withColumn("audit_ts", F.current_timestamp()) \
+        .write.mode("append").parquet(f"{out}/audit")
+    print(f"[{args.run_id}] curated {n_kept}/{n_in} documents "
+          f"({n_pairs} near-dup pairs) → {out}")
+
+
+if __name__ == "__main__":
+    main()
