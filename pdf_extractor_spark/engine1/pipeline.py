@@ -11,9 +11,12 @@ last-page-wins per period (the reference's dict overwrite,
 Scale shape: two explodes (pages, lines) multiply rows ~1000× before
 the rules join — both stay in whole-stage codegen; the rules side is a
 13-row broadcast so the join is a codegen'd nested-loop against a
-local array, no shuffle. The only shuffles are the page-level window
-aggregations, keyed by (url, page) — high-cardinality, uniform. Column
-pruning pushes (url, text) reads down to the parquet scan.
+local array, no shuffle. The keyed shuffles are one (url, page)-hash
+exchange of the slim tokenized table plus the branch hash-aggregates —
+map-side combined, so each post-cache exchange carries one
+pre-aggregated row per group, and nothing ever sorts the full line
+table. Column pruning pushes (url, text) reads down to the parquet
+scan.
 """
 
 from __future__ import annotations
@@ -194,11 +197,6 @@ def extract_folha(pages_df: DataFrame) -> tuple[DataFrame, DataFrame]:
         matched_lines(classified).repartition(n_part, "url", "page_idx")
     ).withColumn("use", _value_to_use())
 
-    # --- single annotation pass: all branch window-aggregates computed
-    # while the (url, page)-hash partitioning is still VISIBLE (cached
-    # plans lose partitioning metadata, so windows applied after the
-    # persist would each re-shuffle the full table). Three Window ops
-    # share the exchange: subset-key clustering satisfies them all.
     qual_normal = (
         (F.col("folha_type") == "FOLHA NORMAL")
         & ~F.col("code").isin(SUM4)
@@ -209,34 +207,29 @@ def extract_folha(pages_df: DataFrame) -> tuple[DataFrame, DataFrame]:
         & F.col("code").isin(SUM4)
         & F.col("use").isNotNull()
     )
-    w_col = Window.partitionBy("url", "page_idx", "excel_col")
-    w_code = Window.partitionBy("url", "page_idx", "code")
-    w_page = Window.partitionBy("url", "page_idx")
     is13 = F.col("folha_type") == "13 SALARIO"
-    ml = ml.withColumns({
-        # last qualifying line per excel column (A-path dict overwrite)
-        "last_normal_pos": F.max(F.when(qual_normal, F.col("line_pos")))
-        .over(w_col),
-        # last qualifying line per SUM4 code (per-code dict overwrite)
-        "last_sum_pos": F.max(F.when(qual_sum, F.col("line_pos")))
-        .over(w_code),
-        # A5: last 09090301/09090101 line on a 13º page (valor captured
-        # even when null — the reference overwrites per matched line)
-        "s301": F.max(F.when(is13 & (F.col("code") == "09090301"),
-                             F.struct("line_pos", "valor"))).over(w_page),
-        "s101": F.max(F.when(is13 & (F.col("code") == "09090101"),
-                             F.struct("line_pos", "valor"))).over(w_page),
-    })
-    # Persist the annotated table: every downstream branch is now a pure
-    # filter/aggregate over it — without the persist each branch re-runs
-    # the explode+join pipeline, and filter pushdown through the exchange
-    # re-inlines the big parse expressions into the explode stage (64KB
-    # codegen blowup → interpreted fallback). MEMORY_AND_DISK for spill.
-    # Column-prune FIRST: the cached table is re-deserialized by every
-    # branch (9 concurrent exchange jobs), so the fat parse structs
+    # A5 reads `valor` (captured even when null — the reference
+    # overwrites per matched line) but only on 13º-page 301/101 lines;
+    # carry that slice as a narrow column so the fat parse struct can be
+    # dropped before the persist.
+    ml = ml.withColumn(
+        "valor13",
+        F.when(is13 & F.col("code").isin("09090301", "09090101"),
+               F.col("valor")))
+    # Persist the parsed table: every downstream branch is a
+    # filter + hash-aggregate over it — without the persist each branch
+    # re-runs the explode+join pipeline, and filter pushdown through
+    # the exchange re-inlines the big parse expressions into the
+    # explode stage (64KB codegen blowup → interpreted fallback).
+    # MEMORY_AND_DISK for spill. Column-prune FIRST: the cached table
+    # is re-deserialized by every branch, so the fat parse structs
     # (indice/valor) and rule columns no branch reads must not be
-    # persisted — `use` and the s301/s101 markers already carry what the
-    # branches need (measured: branch phase is cache-read bound).
+    # persisted. The per-group "last line wins" reductions happen in
+    # the branches as map-side-combined hash aggregates (max_by over
+    # line_pos): their post-cache exchanges carry one pre-aggregated
+    # row per group, and — unlike the window formulation these replaced
+    # — no sort of the full line table is ever needed (measured: the 3
+    # window sorts were ~1/3 of the post-exchange stage CPU).
     from pyspark import StorageLevel
 
     ml = ml.drop("indice", "valor", "source", "fallback")
@@ -245,10 +238,11 @@ def extract_folha(pages_df: DataFrame) -> tuple[DataFrame, DataFrame]:
     pkey = ["url", "page_idx", "folha_type", "year", "month"]
 
     # --- normal path (FOLHA NORMAL, codes outside the SUM4 set) --------
+    # last qualifying line per excel column (A-path dict overwrite)
     normal = ml.filter(qual_normal)
     normal_vals = (
-        normal.filter(F.col("line_pos") == F.col("last_normal_pos"))
-        .select(*pkey, "excel_col", F.col("use").alias("value"))
+        normal.groupBy(*pkey, "excel_col")
+        .agg(F.max_by("use", "line_pos").alias("value"))
     )
 
     # --- A4 description duplicates (attention only, no sum) ------------
@@ -270,8 +264,19 @@ def extract_folha(pages_df: DataFrame) -> tuple[DataFrame, DataFrame]:
     )
 
     # --- A3 sumable pairs (SUM4 codes) ----------------------------------
-    sum_last = ml.filter(qual_sum
-                         & (F.col("line_pos") == F.col("last_sum_pos")))
+    # level 1: per-code dict overwrite — the LAST matched line of each
+    # SUM4 code carries its use/excel_col/description
+    sum_last = (
+        ml.filter(qual_sum)
+        .groupBy(*pkey, "code")
+        .agg(F.max_by(F.struct("use", "excel_col", "description"),
+                      "line_pos").alias("last"),
+             F.max("line_pos").alias("line_pos"))
+        .select(*pkey, "code", "line_pos",
+                F.col("last")["use"].alias("use"),
+                F.col("last")["excel_col"].alias("excel_col"),
+                F.col("last")["description"].alias("description"))
+    )
     sum_g = sum_last.groupBy(*pkey, "excel_col", "description").agg(
         F.count("*").alias("n_codes"),
         F.sum(F.col("use")["num"]).alias("sum_num"),
@@ -295,14 +300,24 @@ def extract_folha(pages_df: DataFrame) -> tuple[DataFrame, DataFrame]:
     )
 
     # --- A5 13º-salário coalesce (09090301 preferred, else 09090101) ---
-    # s301/s101 are per-page constants (window aggregates) — one row per
-    # page suffices
+    # last 301/101 line per 13º page (max over (line_pos, valor) structs
+    # = the reference's per-matched-line overwrite)
     b13 = (
-        ml.filter(is13)
+        ml.filter(is13 & F.col("code").isin("09090301", "09090101"))
+        .groupBy(*pkey)
+        .agg(
+            F.max(F.when(F.col("code") == "09090301",
+                         F.struct("line_pos",
+                                  F.col("valor13").alias("valor"))))
+            .alias("s301"),
+            F.max(F.when(F.col("code") == "09090101",
+                         F.struct("line_pos",
+                                  F.col("valor13").alias("valor"))))
+            .alias("s101"),
+        )
         .select(*pkey,
                 F.col("s301")["valor"].alias("v301"),
                 F.col("s101")["valor"].alias("v101"))
-        .distinct()
         .withColumn(
             "value",
             F.when(_nonzero(F.col("v301")), F.col("v301")).when(
