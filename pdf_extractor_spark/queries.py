@@ -1047,6 +1047,28 @@ def curate_corpus_pipeline(spark, sf_dir):
     return curate_corpus(planted, near_dup_pairs=pairs)
 
 
+@q("multimodal_frame_plan", """
+WITH media AS (
+  SELECT doc_id,
+         ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS media_type,
+         (doc_id * 1299709 + 19) % 600000 + 1 AS duration_ms
+  FROM documents
+)
+SELECT doc_id,
+       unnest(generate_series(0, duration_ms, 1000)) AS frame_ts_ms
+FROM media WHERE media_type = 'video'
+""")
+def multimodal_frame_plan(spark, sf_dir):
+    """Video frame-sampling fan-out (the relational stage that precedes
+    the decode kernel): one row per frame timestamp, every 1000 ms."""
+    from .ops.multimodal import frame_sample_plan, synth_media_table
+
+    d = T(spark, sf_dir, "documents")
+    media = synth_media_table(spark, d)
+    return frame_sample_plan(media, every_ms=1000).select(
+        "doc_id", F.col("frame_ts_ms").cast("bigint").alias("frame_ts_ms"))
+
+
 @q("multimodal_features", _golden_sql("multimodal_features"))
 def multimodal_features(spark, sf_dir):
     from .ops.multimodal import extract_features, synth_media_table
