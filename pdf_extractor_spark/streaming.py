@@ -16,6 +16,8 @@ backfill mode; continuous incremental ingestion just drops the trigger.
 
 from __future__ import annotations
 
+from typing import Iterator
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -97,3 +99,63 @@ def stream_audit_rollup(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_dedup_exact(
+    spark: SparkSession,
+    pages_path: str,
+    out_path: str,
+    checkpoint: str,
+    available_now: bool = True,
+    max_files_per_trigger: int | None = 1,
+):
+    """Streaming exact dedup: emit each distinct document content
+    exactly once across ALL micro-batches (first occurrence wins,
+    min-url within a batch for determinism).
+
+    The custom-stateful-operator tier (``applyInPandasWithState``):
+    state is keyed by the content hash — one tiny counter per distinct
+    document ever seen — so the state store is hash-partitioned and
+    grows with *distinct* content, not stream length. On a real
+    cluster back it with the RocksDB state store
+    (``spark.sql.streaming.stateStore.providerClass``); semantics are
+    identical. This is the continuous-ingestion face of
+    ``ops.dedup.exact_duplicates``: the batch op reports duplicate
+    groups retrospectively, this one suppresses them at arrival time.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from .ops.dedup import normalize_text
+
+    reader = spark.readStream.schema(PAGES_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    pages = reader.parquet(pages_path).withColumn(
+        "content_hash", F.md5(normalize_text(F.col("text"))))
+
+    def dedup(key, pdfs, state) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        n_prev = state.get[0] if state.exists else 0
+        state.update((n_prev + len(rows),))
+        if n_prev == 0 and len(rows) > 0:
+            first = rows.sort_values("url").iloc[[0]]
+            yield first[["content_hash", "url", "lang"]]
+
+    firsts = pages.groupBy("content_hash").applyInPandasWithState(
+        dedup,
+        outputStructType="content_hash string, url string, lang string",
+        stateStructType="n long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    writer = (
+        firsts.writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

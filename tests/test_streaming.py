@@ -97,3 +97,42 @@ def test_stream_matches_batch_and_is_incremental(spark, tmp_path):
     dups = (got2.filter(F.col("code") == "__metrics__")
             .groupBy("url").count().filter(F.col("count") > 1).count())
     assert dups == 0
+
+
+def test_stream_dedup_exact_suppresses_cross_batch_dups(spark, tmp_path):
+    """applyInPandasWithState: first occurrence of each content emitted
+    exactly once; duplicates in later micro-batches (and later query
+    restarts from the same checkpoint) are suppressed by keyed state."""
+    import duckdb
+    import pandas as pd
+
+    from pdf_extractor_spark.streaming import stream_dedup_exact
+
+    pages_dir = str(tmp_path / "dpages")
+    out = str(tmp_path / "dout")
+    ckpt = str(tmp_path / "dckpt")
+
+    def mkfile(rows):
+        pdf = pd.DataFrame([
+            {"url": u, "warc_ts": pd.Timestamp("2025-07-14"),
+             "html": b"", "text": t, "lang": "en"}
+            for u, t in rows
+        ])
+        spark.createDataFrame(pdf, datagen.PAGES_SCHEMA).coalesce(1) \
+            .write.mode("append").parquet(pages_dir)
+
+    # batch 1: A twice (same content, different urls) + B
+    mkfile([("u://2", "alpha beta gamma"), ("u://1", "alpha  beta gamma"),
+            ("u://3", "delta epsilon")])
+    _await(stream_dedup_exact(spark, pages_dir, out, ckpt))
+    got = dict(duckdb.sql(
+        f"SELECT content_hash, url FROM read_parquet('{out}/*.parquet')").fetchall())
+    # min-url wins within the batch; normalization collapses whitespace
+    assert sorted(got.values()) == ["u://1", "u://3"]
+
+    # batch 2 (new file, fresh query, same checkpoint): copy of A + new C
+    mkfile([("u://9", "alpha beta gamma"), ("u://4", "zeta eta")])
+    _await(stream_dedup_exact(spark, pages_dir, out, ckpt))
+    got2 = duckdb.sql(
+        f"SELECT url FROM read_parquet('{out}/*.parquet') ORDER BY url").fetchall()
+    assert [u for (u,) in got2] == ["u://1", "u://3", "u://4"]
