@@ -711,6 +711,63 @@ def text_quality_score(spark, sf_dir):
     )
 
 
+_PT_FULL = ("de|da|do|que|e|o|a|em|para|com|um|uma|os|as|dos|das|no|na|"
+            "por|se")
+_EN_FULL = ("the|of|and|to|in|a|is|that|it|for|on|was|with|as|at|by|be|"
+            "this")
+
+
+@q("text_quality_composite", f"""
+WITH f AS (
+  SELECT doc_id,
+    CASE WHEN trim(text) = '' THEN 0
+         ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+    END AS n_tokens,
+    ROUND(len(regexp_extract_all(text, '(?i)\\b({_PT_FULL}|{_EN_FULL})\\b'))
+          / GREATEST(CASE WHEN trim(text) = '' THEN 0
+                     ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                     END, 1), 6) AS stopword_ratio,
+    ROUND(length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
+          / GREATEST(length(text), 1), 6) AS punct_ratio,
+    ROUND(length(regexp_replace(text, '[^0-9]', '', 'g'))
+          / GREATEST(length(text), 1), 6) AS digit_ratio
+  FROM documents)
+SELECT doc_id, n_tokens, stopword_ratio,
+  ROUND(CASE WHEN n_tokens < 5 THEN 0.0 ELSE
+    GREATEST(0.0, LEAST(1.0,
+      0.4 * LEAST(stopword_ratio * 4, 1.0)
+      + 0.3 * (1 - LEAST(digit_ratio * 5, 1.0))
+      + 0.3 * (1 - LEAST(punct_ratio * 5, 1.0)))) END, 6) AS quality_score
+FROM f
+""")
+def text_quality_composite(spark, sf_dir):
+    """Full quality_features op (stopword ratio over the complete
+    PT+EN lists + the composite [0,1] score)."""
+    from .ops.textstats import quality_features
+
+    d = T(spark, sf_dir, "documents")
+    return quality_features(d).select(
+        "doc_id", "n_tokens", "stopword_ratio", "quality_score")
+
+
+@q("text_bpe_token_count", """
+SELECT doc_id,
+       len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS bpe_tokens
+FROM documents
+""")
+def text_bpe_token_count(spark, sf_dir):
+    """BPE-ish subword-proxy token count (letter/digit runs +
+    punctuation marks). The (?U) Unicode flag of the Java pattern and
+    RE2's ASCII \\w agree on this corpus (ASCII text); planted
+    non-ASCII controls live in the pytest layer where Java is the
+    reference semantics."""
+    from .ops.textstats import bpe_ish_token_count
+
+    d = T(spark, sf_dir, "documents")
+    return d.select("doc_id",
+                    bpe_ish_token_count(F.col("text")).alias("bpe_tokens"))
+
+
 @q("text_fingerprint", """
 SELECT doc_id,
        md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS exact_fp
