@@ -58,7 +58,12 @@ def classify_pages(page_rows: DataFrame) -> DataFrame:
     # match — the first line containing `Tipo da folha:`.
     tipo_line = F.regexp_extract(
         F.col("page"), r"(?iUm)^[^\n]*Tipo\s+da\s+folha\s*:[^\n]*", 0)
-    header = F.array_join(F.slice(F.split(F.col("page"), "\n"), 1, 10), "\n")
+    # split limit 11: stop after the 10 header lines instead of
+    # materializing the whole page's line array (element 11 = remainder,
+    # never read; trailing-empty behavior of limited and unlimited
+    # split agrees on the first 10 elements)
+    header = F.array_join(
+        F.slice(F.split(F.col("page"), "\n", 11), 1, 10), "\n")
 
     folha_type = (
         F.when(
