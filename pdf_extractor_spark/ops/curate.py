@@ -19,7 +19,8 @@ Stage order and mechanics (the standard web-corpus shape):
    generator stays pluggable). Pairs carry a < b, so dropping every
    `b` keeps exactly one representative (the smallest id) per
    duplicate chain. The pair table is ≪ corpus by construction
-   (bucketed + capped candidates), so the anti-join broadcasts.
+   (bucketed + capped candidates); AQE broadcasts the anti-join when
+   it is small, and falls back to a shuffled anti-join when it is not.
 
 Everything is lazy DataFrame composition — no action is triggered
 here, and no stage materializes the corpus.
@@ -84,6 +85,11 @@ def curate_corpus(docs: DataFrame, near_dup_pairs: DataFrame | None = None,
                   .filter(F.col("rn") == 1))
     out = exact_kept.select("doc_id", "lang_pred", "n_tokens")
     if near_dup_pairs is not None:
+        # join strategy stays with the optimizer: the pair table is
+        # usually tiny (bucketed + capped candidate generation) and AQE
+        # broadcasts it, but at extreme corpus sizes a pair set can
+        # outgrow the driver — forcing a broadcast hint here would turn
+        # that into an OOM instead of a (correct) shuffled anti-join.
         drop = near_dup_pairs.select(F.col("b").alias("doc_id")).distinct()
-        out = out.join(F.broadcast(drop), "doc_id", "left_anti")
+        out = out.join(drop, "doc_id", "left_anti")
     return out

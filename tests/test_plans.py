@@ -97,11 +97,18 @@ def test_curate_near_dup_anti_join_broadcasts(spark, sf_dir):
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     pairs = spark.createDataFrame([(1, 2)], "a long, b long")
-    plan = _plan(curate_corpus(docs, near_dup_pairs=pairs))
-    anti = [ln for ln in plan.splitlines() if "LeftAnti" in ln]
+    df = curate_corpus(docs, near_dup_pairs=pairs)
+    # strategy is left to AQE (a forced hint would OOM on huge pair
+    # sets): execute, then assert the FINAL adaptive plan broadcast the
+    # small side
+    df.collect()
+    plan = _plan(df)
+    assert "isFinalPlan=true" in plan
+    final = plan.split("Initial Plan")[0]  # drop AQE's pre-plan echo
+    anti = [ln for ln in final.splitlines() if "LeftAnti" in ln]
     assert anti and all("Broadcast" in ln for ln in anti)
     # keyed exchanges: the exact-dedup window over the content hash,
     # plus at most the tiny pair-table's own distinct — no shuffle for
     # the gates (fused into the scan-side Filter/Project) or anti-join
-    assert plan.count("Exchange hashpartitioning") <= 2
-    assert "WindowGroupLimit" in plan  # partial top-1 before the exchange
+    assert final.count("Exchange hashpartitioning") <= 2
+    assert "WindowGroupLimit" in final  # partial top-1 before the exchange
