@@ -63,7 +63,14 @@ def extract_ficha(pages_df: DataFrame, with_layout_only: bool = True,
     (per-document math — zero extra shuffles; byte-identical to
     `apply_vacation_adjustments_df`, pinned by tests).
     """
-    df = pages_df.select("url", "html", "text")
+    # the only consumer of `text` in this kernel is the person-name
+    # scan, which reads the FIRST page only (reference :854-912, and
+    # oracle_ref.e2_person_name does text.split("\f", 1)[0]) — truncate
+    # JVM-side so the Arrow transfer ships one page of text per
+    # document instead of the whole document
+    df = pages_df.select(
+        "url", "html",
+        F.substring_index(F.col("text"), "\f", 1).alias("text"))
     if with_layout_only:
         df = df.filter(F.length("html") > 0)
     n_part = pages_df.sparkSession.sparkContext.defaultParallelism

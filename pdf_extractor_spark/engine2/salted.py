@@ -246,7 +246,11 @@ def extract_ficha_salted(pages_df: DataFrame, max_pages: int = 16,
     """Drop-in replacement for `pipeline.extract_ficha` that splits
     oversized documents into parallel page-range chunks with an exact
     carry-state handoff. Output is identical (tests pin it)."""
-    df = pages_df.select("url", "html", "text")
+    # person-name scan reads the first text page only (see
+    # pipeline.extract_ficha) — ship one page of text per document
+    df = pages_df.select(
+        "url", "html",
+        F.substring_index(F.col("text"), "\f", 1).alias("text"))
     if with_layout_only:
         df = df.filter(F.length("html") > 0)
     chunks = split_chunks(df, max_pages).persist()
