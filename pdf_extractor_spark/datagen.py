@@ -461,6 +461,64 @@ def corpus_df(spark, n_docs: int, seed: int = 42, partitions: int | None = None)
     return rng_df.mapInPandas(gen, schema=PAGES_SCHEMA)
 
 
+# --------------------------------------------------------------------------
+# synthetic web-documents corpus (curation-pipeline benchmarks)
+# --------------------------------------------------------------------------
+
+_DOC_VOCAB_EN = ("the of and to in is that it for on was with as at by be "
+                 "this data table scan filter join merge sort hash batch "
+                 "stream window column row value query part key fast slow "
+                 "small big line group order vector spark customer").split()
+_DOC_VOCAB_PT = ("de da do que em para com uma os as dos das no na por se "
+                 "dados tabela valor consulta linha coluna grupo ordem "
+                 "rapido lento chave parte janela fluxo").split()
+
+DOCUMENTS_SCHEMA = "doc_id bigint, text string, lang string"
+
+
+def _doc_salad(seed: int, doc_id: int) -> tuple[str, str]:
+    rng = random.Random(_h(seed, doc_id, "docsalad"))
+    vocab = _DOC_VOCAB_PT if rng.random() < 0.3 else _DOC_VOCAB_EN
+    lang = "pt" if vocab is _DOC_VOCAB_PT else "en"
+    n = rng.randrange(10, 100)
+    return " ".join(rng.choice(vocab) for _ in range(n)), lang
+
+
+def doc_row(seed: int, doc_id: int) -> dict:
+    """Deterministic web-document generator: word-salad text with
+    planted curation work — ~2% exact duplicates of an earlier doc,
+    ~2% one-token-appended near duplicates, ~2% digit-heavy junk."""
+    kind = _h(seed, doc_id, "dockind") % 50
+    if doc_id >= 200 and kind == 47:  # exact dup
+        base = doc_id - 1 - _h(seed, doc_id, "dupof") % 199
+        text, lang = _doc_salad(seed, base)
+    elif doc_id >= 200 and kind == 48:  # near dup
+        base = doc_id - 1 - _h(seed, doc_id, "nearof") % 199
+        text, lang = _doc_salad(seed, base)
+        text += " extra"
+    elif kind == 49:  # low quality
+        text, lang = "1 2 3 4 5 6 7 8 9", "und"
+    else:
+        text, lang = _doc_salad(seed, doc_id)
+    return {"doc_id": doc_id, "text": text, "lang": lang}
+
+
+def documents_df(spark, n_docs: int, seed: int = 42,
+                 partitions: int | None = None):
+    """Distributed synthetic documents table (curation benchmarks):
+    spark.range → mapInPandas(doc_row), pure function of (seed, id)."""
+    import pandas as pd
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            yield pd.DataFrame([doc_row(seed, int(i)) for i in batch["id"]])
+
+    rng_df = spark.range(
+        0, n_docs, 1,
+        partitions or min(512, max(8, n_docs // 256 or 1)))
+    return rng_df.mapInPandas(gen, schema=DOCUMENTS_SCHEMA)
+
+
 def main() -> None:
     import argparse
 

@@ -193,3 +193,24 @@ def test_curate_corpus_stages(spark):
     # without a pair table the near-dup doc survives
     kept_nond = sorted(r.doc_id for r in curate_corpus(docs).collect())
     assert kept_nond == [0, 1, 6]
+
+
+def test_documents_generator_plants_curation_work():
+    """doc_row is a pure function of (seed, id) and plants exact dups,
+    near dups, and junk at the documented rates."""
+    from pdf_extractor_spark.datagen import _doc_salad, doc_row
+
+    rows = [doc_row(42, i) for i in range(5000)]
+    assert rows[7] == doc_row(42, 7)  # deterministic
+    texts = {r["doc_id"]: r["text"] for r in rows}
+    salads = {i: _doc_salad(42, i)[0] for i in range(5000)}
+    exact = [i for i in range(200, 5000)
+             if texts[i] != salads[i] and not texts[i].endswith(" extra")
+             and texts[i] != "1 2 3 4 5 6 7 8 9"]
+    near = [i for i in range(200, 5000) if texts[i].endswith(" extra")]
+    junk = [i for i in range(5000) if texts[i] == "1 2 3 4 5 6 7 8 9"]
+    # ~2% each (kind ∈ {47,48} of 50), ~2% junk
+    assert 50 <= len(exact) <= 150 and 50 <= len(near) <= 150
+    assert 50 <= len(junk) <= 150
+    # every exact dup matches some earlier doc's salad verbatim
+    assert all(texts[i] in salads.values() for i in exact[:20])
