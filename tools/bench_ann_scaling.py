@@ -1,0 +1,94 @@
+#!/usr/bin/env python
+"""N vs 4N scaling evidence for similarity search (ANN) — the third
+leg next to extraction (bench_scaling.py) and curation
+(bench_curate_scaling.py):
+
+    python tools/bench_ann_scaling.py               # 1M vectors, pair 2,8
+    ANN_VECS=2000000 ANN_PAIR=2,8 python tools/bench_ann_scaling.py
+
+Workload per measured pass: IVF top-10 for 32 queries over the corpus
+(deterministic first-16-vector centroids — the assignment/probe/
+re-score dataflow is the part that must scale; KMeans quality is an
+offline concern) + hyperplane-LSH top-10 for the same queries. Corpus
+generated once to parquet, shared by both JVMs. Prints one JSON line;
+paste into BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+WORKLOAD = r"""
+import json, time, sys
+import numpy as np
+sys.path.insert(0, {repo!r})
+from pyspark.sql import functions as F
+from pdf_extractor_spark.session import get_spark
+spark = get_spark("ann-scaling", master=f"local[{cpus}]",
+                  shuffle_partitions=max(8, {cpus}))
+emb = spark.read.parquet({path!r})
+from pdf_extractor_spark.ops.similarity import ivf_topk, lsh_topk
+
+cent = (emb.filter(F.col("vec_id") < 16).orderBy("vec_id")
+        .select("embedding").collect())
+centroids = np.array([r[0] for r in cent], dtype=np.float64)
+queries = emb.filter(F.col("vec_id") < 32).select(
+    F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_vec"))
+
+n_iters = int(__import__("os").environ.get("ANN_ITERS", "3"))
+best = float("inf")
+for it in range(n_iters):
+    t0 = time.time()
+    n1 = ivf_topk(emb, queries, centroids, k=10, nprobe=4).count()
+    n2 = lsh_topk(emb, queries, k=10, n_tables=8, n_planes=10,
+                  dim=64).count()
+    dt = time.time() - t0
+    spark.catalog.clearCache()
+    if it >= 1:
+        best = min(best, dt)
+n = emb.count()
+print("RESULT " + json.dumps({{
+    "cpus": {cpus}, "wall_s": round(best, 2), "vecs": n,
+    "rows": n1 + n2, "vecs_per_s": round(n / best, 1)}}))
+"""
+
+
+def run_at(cpus: int, path: str, repo: str) -> dict:
+    code = WORKLOAD.format(cpus=cpus, path=path, repo=repo)
+    env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus))
+    out = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                         text=True, env=env, timeout=3600)
+    for line in out.stdout.splitlines():
+        if line.startswith("RESULT "):
+            return json.loads(line[len("RESULT "):])
+    raise RuntimeError(f"no RESULT; stderr tail:\n{out.stderr[-2000:]}")
+
+
+def main() -> None:
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, repo)
+    n_vecs = int(os.environ.get("ANN_VECS", "1000000"))
+    pair = os.environ.get("ANN_PAIR", "2,8")
+    n_lo, n_hi = (int(x) for x in pair.split(","))
+    assert n_hi == 4 * n_lo, "pair must be N,4N"
+
+    path = f"/tmp/spark_graft_bench/emb_{n_vecs}"
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        from pdf_extractor_spark.datagen import embeddings_df
+        from pdf_extractor_spark.session import get_spark
+
+        spark = get_spark("ann-datagen", master="local[32]")
+        embeddings_df(spark, n_vecs).write.mode("overwrite").parquet(path)
+        spark.stop()
+
+    lo = run_at(n_lo, path, repo)
+    hi = run_at(n_hi, path, repo)
+    eff = (hi["vecs_per_s"] / lo["vecs_per_s"]) / 4
+    print(json.dumps({"lo": lo, "hi": hi, "efficiency": round(eff, 3)}))
+
+
+if __name__ == "__main__":
+    main()
