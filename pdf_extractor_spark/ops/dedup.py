@@ -237,3 +237,34 @@ def simhash_pairs(docs: DataFrame, id_col: str = "doc_id",
         .filter(F.col("hamming") <= max_hamming)
         .select("a", "b", "hamming")
     )
+
+
+def contamination_flags(docs: DataFrame, eval_docs: DataFrame,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        eval_id_col: str = "eval_id",
+                        eval_text_col: str = "text",
+                        k: int = 13) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing any
+    word k-gram (k=13, the standard contamination window) with an
+    evaluation set.
+
+    Scale shape: the eval side is tiny relative to the corpus — its
+    distinct shingles broadcast, so the corpus-side explode joins with
+    no shuffle of corpus data; output is one row per contaminated
+    (doc, eval) pair with the collision count. Corpus docs shorter
+    than k words produce their whole-text shingle (same fallback as
+    `shingles`), so short-text exact matches still flag.
+    """
+    ev = eval_docs.select(
+        F.col(eval_id_col).alias("eval_id"),
+        F.explode(shingles(F.col(eval_text_col), k)).alias("shingle"),
+    ).distinct()
+    sh = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(shingles(F.col(text_col), k)).alias("shingle"),
+    ).distinct()
+    return (
+        sh.join(F.broadcast(ev), "shingle")
+        .groupBy("doc_id", "eval_id")
+        .agg(F.count("*").alias("n_collisions"))
+    )

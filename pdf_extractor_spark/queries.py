@@ -1104,6 +1104,66 @@ def curate_corpus_pipeline(spark, sf_dir):
     return curate_corpus(planted, near_dup_pairs=pairs)
 
 
+@q("decontaminate_13gram", """
+WITH nrm AS (
+  SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+  FROM documents
+), corpus AS (
+  SELECT doc_id, t FROM nrm
+  UNION ALL
+  SELECT 4000000 AS doc_id,
+         'prefix alpha beta '
+         || array_to_string(list_slice(string_split(t, ' '), 1, 13), ' ')
+         || ' suffix' AS t
+  FROM nrm WHERE doc_id = 0
+), ev AS (
+  SELECT doc_id AS eval_id, string_split(t, ' ') AS words
+  FROM nrm WHERE doc_id < 3
+), ei AS (
+  SELECT eval_id, words,
+         unnest(generate_series(1, GREATEST(len(words) - 12, 1))) AS i
+  FROM ev
+), esh AS (
+  SELECT DISTINCT eval_id,
+         array_to_string(list_slice(words, i, i + 12), ' ') AS shingle
+  FROM ei
+), cw AS (
+  SELECT doc_id, string_split(t, ' ') AS words FROM corpus
+), ci AS (
+  SELECT doc_id, words,
+         unnest(generate_series(1, GREATEST(len(words) - 12, 1))) AS i
+  FROM cw
+), csh AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(list_slice(words, i, i + 12), ' ') AS shingle
+  FROM ci
+)
+SELECT c.doc_id, e.eval_id, COUNT(*) AS n_collisions
+FROM csh c JOIN esh e USING (shingle)
+GROUP BY 1, 2
+""")
+def decontaminate_13gram(spark, sf_dir):
+    """Benchmark decontamination: 13-gram collisions between the
+    corpus (+ one planted doc embedding an eval 13-gram) and a
+    stand-in eval set (the first three documents). The eval docs'
+    corpus copies flag themselves; the planted doc flags eval 0."""
+    from .ops.dedup import contamination_flags, normalize_text
+
+    d = T(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = d.filter(F.col("doc_id") == 0).select(
+        F.lit(4000000).cast("long").alias("doc_id"),
+        F.concat(
+            F.lit("prefix alpha beta "),
+            F.array_join(
+                F.slice(F.split(normalize_text(F.col("text")), " "), 1, 13),
+                " "),
+            F.lit(" suffix")).alias("text"))
+    corpus = d.unionByName(planted)
+    ev = d.filter(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("eval_id"), "text")
+    return contamination_flags(corpus, ev, eval_id_col="eval_id", k=13)
+
+
 @q("multimodal_frame_plan", """
 WITH media AS (
   SELECT doc_id,

@@ -214,3 +214,21 @@ def test_documents_generator_plants_curation_work():
     assert 50 <= len(junk) <= 150
     # every exact dup matches some earlier doc's salad verbatim
     assert all(texts[i] in salads.values() for i in exact[:20])
+
+
+def test_contamination_flags(spark):
+    from pdf_extractor_spark.ops.dedup import contamination_flags
+
+    w = " ".join(f"w{i}" for i in range(20))           # eval doc, 20 words
+    corpus = spark.createDataFrame([
+        (1, "clean " + " ".join(f"x{i}" for i in range(20))),
+        (2, "lead in " + " ".join(f"w{i}" for i in range(5, 18)) + " out"),
+        (3, "short exact"),                             # < 13 words
+    ], "doc_id long, text string")
+    ev = spark.createDataFrame(
+        [(100, w), (101, "short exact")], "eval_id long, text string")
+    got = {(r.doc_id, r.eval_id): r.n_collisions
+           for r in contamination_flags(corpus, ev).collect()}
+    # doc 2 embeds one contiguous 13-gram of eval 100; doc 1 is clean;
+    # doc 3 (<k words) matches eval 101 via the whole-text fallback
+    assert got == {(2, 100): 1, (3, 101): 1}
