@@ -101,3 +101,41 @@ def fingerprint(docs: DataFrame, id_col: str = "doc_id",
         F.md5(norm).alias("exact_fp"),
         F.array_min(grams).alias("rolling_fp"),
     )
+
+
+def repetition_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Within-document repetition signals (the Gopher/MassiveText
+    family): duplicate-word fraction, most-frequent-word fraction, and
+    duplicate-bigram fraction. High values mark boilerplate/spam for
+    the quality gate. Pure array expressions — one codegen pass, no
+    shuffle, no UDF."""
+    words = F.split(normalize_text(F.col(text_col)), " ")
+    n = F.size(words)
+    safe_n = F.greatest(n, F.lit(1))
+    distinct_frac = F.size(F.array_distinct(words)) / safe_n
+    # most-frequent-word count = longest equal run of the sorted word
+    # array, via a linear fold (O(n log n) per doc; a per-distinct-word
+    # filter scan would be quadratic on long documents)
+    sorted_w = F.array_sort(words)
+    acc0 = F.struct(F.lit("").alias("prev"), F.lit(0).alias("run"),
+                    F.lit(0).alias("best"))
+
+    def _step(acc, w):
+        run = F.when(w == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(w.alias("prev"), run.alias("run"),
+                        F.greatest(acc["best"], run).alias("best"))
+
+    top_word_n = F.aggregate(sorted_w, acc0, _step, lambda a: a["best"])
+    bigrams = F.transform(
+        F.sequence(F.lit(0), F.greatest(n - 2, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.element_at(words, i + 1),
+                              F.element_at(words, i + 2)))
+    dup_bigram = F.when(
+        n >= 2,
+        F.round(1.0 - F.size(F.array_distinct(bigrams)) / (n - 1), 6),
+    ).otherwise(F.lit(0.0))
+    return docs.withColumns({
+        "dup_word_frac": F.round(1.0 - distinct_frac, 6),
+        "top_word_frac": F.round(top_word_n / safe_n, 6),
+        "dup_bigram_frac": dup_bigram,
+    })

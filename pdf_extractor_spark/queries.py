@@ -1104,6 +1104,41 @@ def curate_corpus_pipeline(spark, sf_dir):
     return curate_corpus(planted, near_dup_pairs=pairs)
 
 
+@q("text_repetition", """
+WITH nrm AS (
+  SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+  FROM documents
+), w AS (
+  SELECT doc_id, string_split(t, ' ') AS words, len(string_split(t, ' ')) AS n
+  FROM nrm
+), wx AS (
+  SELECT doc_id, unnest(words) AS word FROM w
+), top AS (
+  SELECT doc_id, MAX(c) AS top_n FROM (
+    SELECT doc_id, word, COUNT(*) AS c FROM wx GROUP BY 1, 2)
+  GROUP BY 1
+)
+SELECT w.doc_id,
+  ROUND(1.0 - len(list_distinct(words)) / GREATEST(n, 1), 6)
+    AS dup_word_frac,
+  ROUND(top.top_n / GREATEST(n, 1), 6) AS top_word_frac,
+  CASE WHEN n >= 2 THEN
+    ROUND(1.0 - len(list_distinct(
+      list_transform(range(1, n), i -> words[i] || ' ' || words[i + 1])))
+      / (n - 1), 6)
+  ELSE 0.0 END AS dup_bigram_frac
+FROM w JOIN top USING (doc_id)
+""")
+def text_repetition(spark, sf_dir):
+    """Gopher-style within-document repetition signals (duplicate-word
+    / top-word / duplicate-bigram fractions)."""
+    from .ops.textstats import repetition_features
+
+    d = T(spark, sf_dir, "documents")
+    return repetition_features(d).select(
+        "doc_id", "dup_word_frac", "top_word_frac", "dup_bigram_frac")
+
+
 @q("decontaminate_13gram", """
 WITH nrm AS (
   SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t

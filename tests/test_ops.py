@@ -232,3 +232,21 @@ def test_contamination_flags(spark):
     # doc 2 embeds one contiguous 13-gram of eval 100; doc 1 is clean;
     # doc 3 (<k words) matches eval 101 via the whole-text fallback
     assert got == {(2, 100): 1, (3, 101): 1}
+
+
+def test_repetition_features_edges(spark):
+    from pdf_extractor_spark.ops.textstats import repetition_features
+
+    docs = spark.createDataFrame([
+        (1, "spam spam spam spam"),          # all same word
+        (2, "a b c d"),                       # all distinct
+        (3, "solo"),                          # no bigrams
+        (4, "x y x y x y"),                   # repeated bigram pattern
+    ], "doc_id long, text string")
+    r = {x.doc_id: x for x in repetition_features(docs).collect()}
+    assert r[1].dup_word_frac == 0.75 and r[1].top_word_frac == 1.0
+    assert r[1].dup_bigram_frac == 0.666667  # round(1 - 1/3, 6)
+    assert r[2].dup_word_frac == 0.0 and r[2].dup_bigram_frac == 0.0
+    assert r[3].dup_bigram_frac == 0.0 and r[3].top_word_frac == 1.0
+    # 5 bigrams: xy yx xy yx xy → 2 distinct → 1 - 2/5
+    assert r[4].dup_bigram_frac == 0.6
