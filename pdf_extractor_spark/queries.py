@@ -1104,6 +1104,35 @@ def curate_corpus_pipeline(spark, sf_dir):
     return curate_corpus(planted, near_dup_pairs=pairs)
 
 
+@q("pack_sequences", """
+WITH t AS (
+  SELECT doc_id,
+    CASE WHEN trim(text) = '' THEN 0
+         ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+    END AS n_tokens
+  FROM documents
+), placed AS (
+  SELECT doc_id, n_tokens,
+    COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS "offset"
+  FROM t
+)
+SELECT doc_id, n_tokens, "offset",
+  CAST(FLOOR("offset" / 2048.0) AS BIGINT) AS start_seq,
+  CAST(FLOOR(("offset" + GREATEST(n_tokens, 1) - 1) / 2048.0) AS BIGINT)
+    AS end_seq
+FROM placed
+""")
+def pack_sequences(spark, sf_dir):
+    """Concat-and-chunk packing plan (seq_len=2048) via the
+    distributed prefix sum; the oracle is the naive single-window
+    formulation, which is exactly what the op must equal."""
+    from .ops.packing import packing_plan
+
+    d = T(spark, sf_dir, "documents")
+    return packing_plan(d, seq_len=2048, bucket=64)
+
+
 @q("text_repetition", """
 WITH nrm AS (
   SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t

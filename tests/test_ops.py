@@ -250,3 +250,24 @@ def test_repetition_features_edges(spark):
     assert r[3].dup_bigram_frac == 0.0 and r[3].top_word_frac == 1.0
     # 5 bigrams: xy yx xy yx xy → 2 distinct → 1 - 2/5
     assert r[4].dup_bigram_frac == 0.6
+
+
+def test_packing_plan_prefix_sum(spark):
+    """Distributed prefix sum == naive cumsum; invariant under input
+    partitioning; bucket boundaries are seamless."""
+    from pdf_extractor_spark.ops.packing import packing_plan
+
+    texts = [(i, " ".join(["w"] * (3 + i % 7))) for i in range(40)]
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    out = {r.doc_id: r for r in
+           packing_plan(docs, seq_len=10, bucket=8).collect()}
+    cum = 0
+    for i in range(40):
+        n = 3 + i % 7
+        assert out[i].offset == cum and out[i].n_tokens == n, i
+        assert out[i].start_seq == cum // 10
+        assert out[i].end_seq == (cum + n - 1) // 10
+        cum += n
+    out2 = {r.doc_id: r.offset for r in
+            packing_plan(docs.repartition(7), seq_len=10, bucket=8).collect()}
+    assert out2 == {i: out[i].offset for i in range(40)}
