@@ -93,3 +93,27 @@ def curate_corpus(docs: DataFrame, near_dup_pairs: DataFrame | None = None,
         drop = near_dup_pairs.select(F.col("b").alias("doc_id")).distinct()
         out = out.join(drop, "doc_id", "left_anti")
     return out
+
+
+def deterministic_sample(docs: DataFrame, rates: DataFrame,
+                         id_col: str = "doc_id",
+                         source_col: str = "source",
+                         salt: str = "v1") -> DataFrame:
+    """Mixture sampling: keep each row with its source's rate, decided
+    by a content-hash threshold instead of an RNG —
+    ``md5(doc_id|salt)`` 's first 32 bits, uniform on [0, 2^32).
+
+    Properties the RNG approach lacks: the SAME rows are kept on every
+    run, on any cluster, at any partitioning (reproducible corpus
+    builds, diffable across rate changes — raising a source's rate only
+    ADDS rows); changing `salt` redraws the sample. `rates` is a
+    (source, rate) dimension — tiny, broadcast by the optimizer.
+    """
+    threshold = (F.col("rate") * F.lit(float(1 << 32)))
+    h = F.conv(
+        F.substring(F.md5(F.concat_ws("|", F.col(id_col).cast("string"),
+                                      F.lit(salt))), 1, 8),
+        16, 10).cast("decimal(20,0)").cast("double")
+    return (docs.join(rates, source_col)
+            .filter(h < threshold)
+            .drop("rate"))

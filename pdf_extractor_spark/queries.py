@@ -1104,6 +1104,31 @@ def curate_corpus_pipeline(spark, sf_dir):
     return curate_corpus(planted, near_dup_pairs=pairs)
 
 
+@q("sample_mixture", """
+WITH rates AS (
+  SELECT 'src' || CAST(i AS VARCHAR) AS source, (i % 5) * 0.25 AS rate
+  FROM (SELECT unnest(generate_series(0, 19)) AS i)
+)
+SELECT d.doc_id, d.source
+FROM documents d JOIN rates r USING (source)
+WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || '|v1'), 1, 8))
+           AS UBIGINT)
+      < r.rate * 4294967296.0
+""")
+def sample_mixture(spark, sf_dir):
+    """Deterministic mixture sampling: per-source keep-rates decided by
+    a content-hash threshold (reproducible at any partitioning; rate
+    changes are monotone — raising a rate only adds rows)."""
+    from .ops.curate import deterministic_sample
+
+    d = T(spark, sf_dir, "documents")
+    rates = spark.createDataFrame(
+        [(f"src{i}", (i % 5) * 0.25) for i in range(20)],
+        "source string, rate double")
+    return deterministic_sample(d, rates, salt="v1").select(
+        "doc_id", "source")
+
+
 @q("pack_sequences", """
 WITH t AS (
   SELECT doc_id,

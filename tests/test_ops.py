@@ -271,3 +271,26 @@ def test_packing_plan_prefix_sum(spark):
     out2 = {r.doc_id: r.offset for r in
             packing_plan(docs.repartition(7), seq_len=10, bucket=8).collect()}
     assert out2 == {i: out[i].offset for i in range(40)}
+
+
+def test_deterministic_sample_properties(spark):
+    """Hash-threshold sampling: rate 0/1 exact, monotone in rate,
+    invariant under repartitioning, approximately proportional."""
+    from pdf_extractor_spark.ops.curate import deterministic_sample
+
+    docs = spark.createDataFrame(
+        [(i, f"s{i % 2}") for i in range(2000)], "doc_id long, source string")
+
+    def kept(r0, r1, df=docs):
+        rates = spark.createDataFrame([("s0", r0), ("s1", r1)],
+                                      "source string, rate double")
+        return {r.doc_id for r in deterministic_sample(df, rates).collect()}
+
+    assert kept(0.0, 0.0) == set()
+    all_k = kept(1.0, 1.0)
+    assert len(all_k) == 2000
+    half = kept(0.5, 0.5)
+    assert 850 <= len(half) <= 1150            # ~50% of 2000
+    assert half <= kept(0.8, 0.8)               # monotone: raising adds only
+    assert kept(0.5, 0.5, docs.repartition(13)) == half  # partition-invariant
+    assert kept(0.5, 0.0) == {i for i in half if i % 2 == 0}  # per-source
