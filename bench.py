@@ -89,7 +89,9 @@ def run_bench(spark, sf_dir: str) -> dict:
 
     # representative relational + curation operators on the SF tables
     for qname in ("q1_pricing_summary", "w3_last_write_wins", "j7_asof_join",
-                  "dedup_exact_hash", "text_lang_id", "sim_cosine_topk"):
+                  "dedup_exact_hash", "text_lang_id", "sim_cosine_topk",
+                  "text_repetition", "pack_sequences", "sample_mixture",
+                  "decontaminate_13gram"):
         counters[qname] = timed(qname,
                                 lambda qn=qname: Q.QUERIES[qn](spark, sf_dir).count())
 
