@@ -84,8 +84,15 @@ def main() -> None:
         embeddings_df(spark, n_vecs).write.mode("overwrite").parquet(path)
         spark.stop()
 
-    lo = run_at(n_lo, path, repo)
-    hi = run_at(n_hi, path, repo)
+    # ANN_ROUNDS > 1: alternate legs, keep best per config
+    # (steal-robust — same rationale as bench_scaling SCALING_ROUNDS)
+    rounds = int(os.environ.get("ANN_ROUNDS", "1"))
+    lo = hi = None
+    for _ in range(rounds):
+        r = run_at(n_lo, path, repo)
+        lo = r if lo is None or r["vecs_per_s"] > lo["vecs_per_s"] else lo
+        r = run_at(n_hi, path, repo)
+        hi = r if hi is None or r["vecs_per_s"] > hi["vecs_per_s"] else hi
     eff = (hi["vecs_per_s"] / lo["vecs_per_s"]) / 4
     print(json.dumps({"lo": lo, "hi": hi, "efficiency": round(eff, 3)}))
 
