@@ -37,7 +37,11 @@ def packing_plan(docs: DataFrame, seq_len: int = 2048,
     base = docs.select(
         F.col(id_col).alias("doc_id"),
         token_count(F.col(text_col)).alias("n_tokens"),
-    ).withColumn("bucket", (F.col("doc_id") / bucket).cast("long"))
+    ).withColumn(
+        # integer `div`, not float division: double rounding would
+        # misbucket ids above 2^53 (the module targets 10^12 docs).
+        # Assumes non-negative doc_id (div truncates toward zero).
+        "bucket", F.expr(f"doc_id div {int(bucket)}").cast("long"))
 
     bucket_sums = base.groupBy("bucket").agg(
         F.sum("n_tokens").alias("bucket_tokens"))

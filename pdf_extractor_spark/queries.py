@@ -17,6 +17,7 @@ rows-only check for them.
 
 from __future__ import annotations
 
+from pathlib import Path
 from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -828,7 +829,12 @@ def sim_cosine_topk(spark, sf_dir):
 # sf0.01 fails loudly if the goldens go stale.
 # ---------------------------------------------------------------------------
 
-GOLDEN_DIR = "/root/repo/goldens/sf0_01"
+# Derived from the package location so the repo works from any
+# checkout path. The goldens are generated AT sf0.01 — the driver gate
+# runs at sf0.01 so they are valid there; _golden_sql-backed queries at
+# other scale factors would compare against the wrong corpus, hence the
+# explicit name suffix and the note in each query's docstring.
+GOLDEN_DIR = str(Path(__file__).resolve().parent.parent / "goldens" / "sf0_01")
 
 
 def _golden_sql(name: str) -> str:
@@ -1138,8 +1144,12 @@ WITH t AS (
   FROM documents
 ), placed AS (
   SELECT doc_id, n_tokens,
-    COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
-      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS "offset"
+    -- CAST: DuckDB SUM(BIGINT) yields HUGEINT (→ float64 in pandas),
+    -- which value-hashes differently from Spark's int64 even when the
+    -- values are identical (r02's only red row).
+    CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      AS "offset"
   FROM t
 )
 SELECT doc_id, n_tokens, "offset",

@@ -38,7 +38,12 @@ def merge_if_empty(
         *keys, F.col(value_col).alias("__upd_value")
     ).dropDuplicates(keys)
     t_val = F.col(value_col)
-    empty = t_val.isNull() | (t_val.cast("double") == 0.0)
+    # try_cast, not cast: under Spark 4 ANSI a non-numeric target string
+    # (E1 time values like '05,08') would make cast throw
+    # NumberFormatException. try_cast yields NULL there, the comparison
+    # is NULL, when() treats it as false → the existing non-empty cell
+    # wins, which is exactly the reference's fill-if-empty semantics.
+    empty = t_val.isNull() | (t_val.try_cast("double") == 0.0)
     merged = (
         target.join(upd, keys, "full_outer")
         .withColumn(

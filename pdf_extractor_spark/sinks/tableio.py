@@ -83,13 +83,20 @@ class ParquetSnapshotTableIO(TableIO):
             stream.close()
 
     def _write_hint(self, spark: SparkSession, name: str, version: int) -> None:
+        # Write to a temp file, then rename over the hint — a concurrent
+        # reader never observes an empty/partial hint (same scheme
+        # Iceberg's HadoopTableOperations uses for version-hint.text).
         fs, jvm = self._fs(spark, self.root)
-        p = jvm.org.apache.hadoop.fs.Path(self._hint_path(name))
-        stream = fs.create(p, True)  # atomic-replace pointer flip
+        hint = jvm.org.apache.hadoop.fs.Path(self._hint_path(name))
+        tmp = jvm.org.apache.hadoop.fs.Path(self._hint_path(name) + ".tmp")
+        stream = fs.create(tmp, True)
         try:
             stream.write(str(version).encode("utf-8"))
         finally:
             stream.close()
+        fs.delete(hint, False)
+        if not fs.rename(tmp, hint):
+            raise IOError(f"version-hint rename failed for {name}")
 
     def _snap_dir(self, name: str, version: int) -> str:
         return f"{self.root}/{name}/snap-{version:08d}"
@@ -190,7 +197,7 @@ class IcebergTableIO(TableIO):
             MERGE INTO {self._t(name)} t
             USING __merge_updates u ON {on}
             WHEN MATCHED AND (t.{value_col} IS NULL
-                              OR CAST(t.{value_col} AS DOUBLE) = 0.0)
+                              OR TRY_CAST(t.{value_col} AS DOUBLE) = 0.0)
                  THEN UPDATE SET t.{value_col} = u.{value_col}
             WHEN NOT MATCHED THEN INSERT *
         """)

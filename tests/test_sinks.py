@@ -26,6 +26,47 @@ def test_merge_if_empty_semantics(spark):
     assert out[("p3", "C")] == 1.0    # inserted
 
 
+def test_merge_if_empty_string_values(spark):
+    """ANSI-safety: string value columns holding non-numeric cells
+    (E1 time values like '05,08') must not crash the emptiness cast —
+    try_cast yields NULL there, so the existing non-empty cell wins."""
+    target = spark.createDataFrame(
+        [("p1", "A", "05,08"), ("p1", "B", None),
+         ("p2", "A", "0"), ("p2", "B", "7.5")],
+        "period string, col string, value string",
+    )
+    updates = spark.createDataFrame(
+        [("p1", "A", "99"), ("p1", "B", "08,30"),
+         ("p2", "A", "3"), ("p2", "B", "11")],
+        "period string, col string, value string",
+    )
+    out = {(r.period, r.col): r.value
+           for r in merge.merge_if_empty(target, updates, ["period", "col"]).collect()}
+    assert out[("p1", "A")] == "05,08"  # non-numeric target wins, no throw
+    assert out[("p1", "B")] == "08,30"  # null filled
+    assert out[("p2", "A")] == "3"      # numeric zero filled
+    assert out[("p2", "B")] == "7.5"    # numeric non-zero wins
+
+
+def test_parquet_snapshot_tableio_string_values(spark, tmp_path):
+    """Same ANSI trap through the TableIO MERGE path: second run against
+    a target holding '05,08' must be a clean no-op, not a
+    NumberFormatException."""
+    from pdf_extractor_spark.sinks.tableio import ParquetSnapshotTableIO
+
+    io = ParquetSnapshotTableIO(str(tmp_path / "tio_str"))
+    u = spark.createDataFrame(
+        [("p1", "A", "05,08"), ("p1", "B", "0")],
+        "period string, col string, value string")
+    io.merge_fill_if_empty(spark, "t", u, ["period", "col"])
+    u2 = spark.createDataFrame(
+        [("p1", "A", "99"), ("p1", "B", "12,00")],
+        "period string, col string, value string")
+    io.merge_fill_if_empty(spark, "t", u2, ["period", "col"])
+    got = {(r.period, r.col): r.value for r in io.read(spark, "t").collect()}
+    assert got == {("p1", "A"): "05,08", ("p1", "B"): "12,00"}
+
+
 def test_merge_idempotent(spark, tmp_path):
     """Second MERGE run changes nothing (reference fill-if-empty)."""
     target = spark.createDataFrame(
