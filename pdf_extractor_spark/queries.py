@@ -410,62 +410,74 @@ def j4_pivot_codes(spark, sf_dir):
 # Set ops / sorts / limits (SURVEY §2.7-2.8)
 # ---------------------------------------------------------------------------
 
-@q("u3_except_union", """
-SELECT custkey FROM (
-  SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
-  EXCEPT
-  SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+@q("u1_u3_set_ops", """
+SELECT 'orders' AS src, custkey AS key FROM (
+  SELECT custkey FROM (
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    EXCEPT
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+  )
+  UNION
+  SELECT c_custkey AS custkey FROM customer WHERE c_acctbal < 0
 )
-UNION
-SELECT c_custkey AS custkey FROM customer WHERE c_acctbal < 0
+UNION ALL
+SELECT 'events' AS src, user_id AS key FROM (
+  SELECT user_id FROM events WHERE event_type = 'click'
+  UNION
+  SELECT user_id FROM events WHERE event_type = 'purchase'
+)
 """)
-def u3_except_union(spark, sf_dir):
-    # U3 shape: key-set EXCEPT then UNION (horas writer month sets)
+def u1_u3_set_ops(spark, sf_dir):
+    """U1 + U2/U3 in one driver row (the gate evaluates the first 50
+    registered queries, so the set-op surfaces share one): the `orders`
+    branch is the U3 shape — key-set EXCEPT then UNION (horas writer
+    month sets) — and the `events` branch is the U1 key-set union
+    (cartoes writer month keys). Tagged by `src` so both result sets
+    stay independently hash-checked."""
     o = T(spark, sf_dir, "orders")
     c = T(spark, sf_dir, "customer")
+    e = T(spark, sf_dir, "events")
     urgent = (o.filter(F.col("o_orderpriority") == "1-URGENT")
-              .select(F.col("o_custkey").alias("custkey")).distinct())
+              .select(F.col("o_custkey").alias("key")).distinct())
     failed = (o.filter(F.col("o_orderstatus") == "F")
-              .select(F.col("o_custkey").alias("custkey")).distinct())
+              .select(F.col("o_custkey").alias("key")).distinct())
     neg = (c.filter(F.col("c_acctbal") < 0)
-           .select(F.col("c_custkey").alias("custkey")))
-    return urgent.subtract(failed).union(neg).distinct()
+           .select(F.col("c_custkey").alias("key")))
+    u3 = (urgent.subtract(failed).union(neg).distinct()
+          .select(F.lit("orders").alias("src"), "key"))
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("key"))
+    buys = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("key"))
+    u1 = (clicks.union(buys).distinct()
+          .select(F.lit("events").alias("src"), "key"))
+    return u3.unionByName(u1)
 
 
-@q("o5_topk_history", """
-SELECT event_id, epoch_us(ts) AS ts_us FROM events
-ORDER BY ts DESC, event_id DESC LIMIT 10
+@q("o5_o6_topk", """
+(SELECT 'history' AS src, event_id, epoch_us(ts) AS ts_us,
+        CAST(NULL AS BIGINT) AS user_id
+ FROM events ORDER BY ts DESC, event_id DESC LIMIT 10)
+UNION ALL
+(SELECT 'errors' AS src, event_id, epoch_us(ts) AS ts_us, user_id
+ FROM events WHERE event_type = 'error'
+ ORDER BY ts DESC, event_id DESC LIMIT 3)
 """)
-def o5_topk_history(spark, sf_dir):
-    # O5 shape: history truncation top-k
+def o5_o6_topk(spark, sf_dir):
+    """O5 + O6 in one driver row (50-query gate): the `history` branch
+    is the O5 history-truncation top-10; the `errors` branch is the O6
+    error-display top-3 (the "e mais N" count is n_rows-3)."""
     e = T(spark, sf_dir, "events")
-    return (e.orderBy(F.col("ts").desc(), F.col("event_id").desc())
-            .select("event_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"))
-            .limit(10))
-
-
-@q("o6_top3_errors", """
-SELECT event_id, user_id FROM events WHERE event_type = 'error'
-ORDER BY ts DESC, event_id DESC LIMIT 3
-""")
-def o6_top3_errors(spark, sf_dir):
-    # O6 shape: error display top-3 (+ "e mais N" count is n_rows-3)
-    e = T(spark, sf_dir, "events")
-    return (e.filter(F.col("event_type") == "error")
-            .orderBy(F.col("ts").desc(), F.col("event_id").desc())
-            .select("event_id", "user_id").limit(3))
-
-
-@q("u1_union_keys", """
-SELECT user_id FROM events WHERE event_type = 'click'
-UNION
-SELECT user_id FROM events WHERE event_type = 'purchase'
-""")
-def u1_union_keys(spark, sf_dir):
-    e = T(spark, sf_dir, "events")
-    a = e.filter(F.col("event_type") == "click").select("user_id")
-    b = e.filter(F.col("event_type") == "purchase").select("user_id")
-    return a.union(b).distinct()
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us")
+    o5 = (e.orderBy(F.col("ts").desc(), F.col("event_id").desc())
+          .select(F.lit("history").alias("src"), "event_id", ts_us,
+                  F.lit(None).cast("long").alias("user_id"))
+          .limit(10))
+    o6 = (e.filter(F.col("event_type") == "error")
+          .orderBy(F.col("ts").desc(), F.col("event_id").desc())
+          .select(F.lit("errors").alias("src"), "event_id", ts_us, "user_id")
+          .limit(3))
+    return o5.unionByName(o6)
 
 
 @q("o1_intra_group_sort", """
@@ -526,42 +538,37 @@ def f1_classify_filter(spark, sf_dir):
             .groupBy("lang", "text_class").agg(F.count("*").alias("n")))
 
 
-@q("c7_excel_serial_date", """
-SELECT p_partkey,
-       CAST(CASE WHEN p_size * 3 > 59
-                 THEN DATE '1899-12-30' + CAST(p_size * 3 AS INTEGER)
-                 ELSE DATE '1899-12-31' + CAST(p_size * 3 AS INTEGER)
-            END AS VARCHAR) AS excel_date
-FROM part
-""")
-def c7_excel_serial_date(spark, sf_dir):
-    # C7 shape: Excel serial decode incl. the 1900-leap-bug branch
-    p = T(spark, sf_dir, "part")
-    serial = (F.col("p_size") * 3).cast("int")
-    d = (F.when(serial > 59, F.date_add(F.to_date(F.lit("1899-12-30")), serial))
-         .otherwise(F.date_add(F.to_date(F.lit("1899-12-31")), serial)))
-    return p.select("p_partkey", d.cast("string").alias("excel_date"))
-
-
-@q("c8_period_label", """
+@q("c7_c8_date_labels", """
 SELECT CASE CAST(EXTRACT(month FROM o_orderdate) AS INTEGER)
          WHEN 1 THEN 'jan' WHEN 2 THEN 'fev' WHEN 3 THEN 'mar'
          WHEN 4 THEN 'abr' WHEN 5 THEN 'mai' WHEN 6 THEN 'jun'
          WHEN 7 THEN 'jul' WHEN 8 THEN 'ago' WHEN 9 THEN 'set'
          WHEN 10 THEN 'out' WHEN 11 THEN 'nov' ELSE 'dez' END
        || '/' || strftime(o_orderdate, '%y') AS period_label,
+       CAST(CASE WHEN o_orderkey % 120 > 59
+                 THEN DATE '1899-12-30' + CAST(o_orderkey % 120 AS INTEGER)
+                 ELSE DATE '1899-12-31' + CAST(o_orderkey % 120 AS INTEGER)
+            END AS VARCHAR) AS excel_date,
        COUNT(*) AS n
-FROM orders GROUP BY 1
+FROM orders GROUP BY 1, 2
 """)
-def c8_period_label(spark, sf_dir):
-    # C8 shape: 'jan/25' period labels
+def c7_c8_date_labels(spark, sf_dir):
+    """C7 + C8 in one driver row (50-query gate): `period_label` is the
+    C8 'jan/25' label; `excel_date` is the C7 Excel serial decode incl.
+    the 1900-leap-bug branch (serial = o_orderkey % 120 spans both
+    sides of the 59 cutoff)."""
     o = T(spark, sf_dir, "orders")
     abbrev = F.array(*[F.lit(x) for x in
                        ["jan", "fev", "mar", "abr", "mai", "jun",
                         "jul", "ago", "set", "out", "nov", "dez"]])
     label = F.concat(F.element_at(abbrev, F.month("o_orderdate")),
                      F.lit("/"), F.date_format("o_orderdate", "yy"))
-    return o.groupBy(label.alias("period_label")).agg(F.count("*").alias("n"))
+    serial = (F.col("o_orderkey") % 120).cast("int")
+    d = (F.when(serial > 59, F.date_add(F.to_date(F.lit("1899-12-30")), serial))
+         .otherwise(F.date_add(F.to_date(F.lit("1899-12-31")), serial)))
+    return (o.groupBy(label.alias("period_label"),
+                      d.cast("string").alias("excel_date"))
+            .agg(F.count("*").alias("n")))
 
 
 @q("c1_last_two_numbers", r"""
