@@ -134,8 +134,12 @@ def apply_vacation_adjustments_df(vals: DataFrame) -> DataFrame:
     keys = ["url", "year", "month"]
     # Vectorized UDFs evaluate on every batch row even under when() —
     # run the exact-decimal add only on the (small) matched slice and
-    # pass the untouched majority through. adj is tiny → broadcast.
-    adj_b = F.broadcast(adj)
+    # pass the untouched majority through. No broadcast hint: adj is
+    # one row per (url, year, month) with both 527 series — i.e.
+    # corpus-proportional, not a dimension — so the join strategy is
+    # left to AQE (broadcast at small scale, shuffle-join at 10^9 urls
+    # where a forced broadcast would OOM the driver).
+    adj_b = adj
     matched = base.join(adj_b, keys, "inner").select(
         *keys, decimal_add_udf("value", "additional").alias("value"))
     base_only = base.join(adj_b, keys, "left_anti")
@@ -252,8 +256,10 @@ def cartoes_table(vals: DataFrame, start, end, minutes_mode: bool = False) -> Da
     # extracted value (the writer reads the full horas_100 map)
     inc = h100_raw.groupBy("url").agg(
         F.max(F.col("value").cast("decimal(38,6)") != 0).alias("include_extra_100"))
+    # No broadcast hint: inc is one flag per url (corpus-proportional).
+    # AQE broadcasts it at sandbox scale and shuffle-joins at 10^9 urls.
     return (
-        df.join(F.broadcast(inc), "url", "left")
+        df.join(inc, "url", "left")
         .withColumn("include_extra_100",
                     F.coalesce("include_extra_100", F.lit(False)))
         .select(

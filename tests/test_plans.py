@@ -89,6 +89,30 @@ def test_zero_fill_dim_is_broadcast(spark):
         "BroadcastHashJoin" in _plan(ser)
 
 
+def test_corpus_proportional_joins_not_hinted(spark):
+    """A6's adjustment table (one row per url/year/month) and A8's
+    include-flag table (one row per url) grow with the corpus — a
+    forced broadcast hint would OOM at 10^9 urls. The strategy must be
+    left to AQE: no ResolvedHint in the optimized logical plan, while
+    at sandbox scale AQE still picks a broadcast join on its own."""
+    from pdf_extractor_spark import datagen
+
+    pages = spark.createDataFrame(datagen.corpus_pandas(8))
+    vals = e2.values_table(e2.extract_ficha(pages))
+
+    adjusted = e2.apply_vacation_adjustments_df(vals)
+    cart = e2.cartoes_table(vals, (2019, 1), (2019, 12))
+    for df in (adjusted, cart):
+        logical = df._jdf.queryExecution().optimizedPlan().toString()
+        assert "ResolvedHint" not in logical
+        assert "UnresolvedHint" not in logical
+    # AQE still broadcasts the small side at this scale
+    cart.collect()
+    plan = _plan(cart)
+    final = plan.split("Initial Plan")[0]
+    assert "BroadcastHashJoin" in final
+
+
 def test_curate_near_dup_anti_join_broadcasts(spark, sf_dir):
     """The near-dup removal must be a broadcast LEFT ANTI join (pairs
     ≪ corpus by construction) and the quality+lang feature pass must
