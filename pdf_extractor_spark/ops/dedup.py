@@ -72,18 +72,30 @@ def _perm_params(n_perm: int, seed: int = 42) -> list[tuple[int, int]]:
 
 def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text", k: int = 5,
-                       n_perm: int = 64, seed: int = 42) -> DataFrame:
+                       n_perm: int = 64, seed: int = 42,
+                       dedup_shingles: bool = True) -> DataFrame:
     """doc → n_perm-column MinHash signature over word k-shingles.
 
     One explode + one map-side-combinable groupBy; the per-permutation
     min is computed from a single base xxhash64 per distinct shingle.
+
+    `dedup_shingles` does not change the result (min is
+    duplicate-insensitive); it changes the plan. True keeps a distinct
+    on the exploded (doc_id, shingle) table — a full-width exchange,
+    but one that `minhash_lsh_pairs`'s verify stage shares verbatim, so
+    Spark's ReusedExchange computes it once (fastest measured shape at
+    sandbox scale). False skips it: the groupBy's map-side partial min
+    shuffles only 64 longs per doc — the shape to use when signatures
+    are built standalone or the corpus is too large to exchange
+    (10^12-doc scale, where verify touches only candidate docs and
+    shares nothing).
     """
-    sh = (
-        docs.select(F.col(id_col).alias("doc_id"),
-                    F.explode(shingles(F.col(text_col), k)).alias("shingle"))
-        .distinct()
-        .withColumn("h", F.pmod(F.xxhash64("shingle"), F.lit(MERSENNE)))
-    )
+    sh = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(shingles(F.col(text_col), k)).alias("shingle"))
+    if dedup_shingles:
+        sh = sh.distinct()
+    sh = sh.withColumn("h", F.pmod(F.xxhash64("shingle"), F.lit(MERSENNE)))
     aggs = [
         F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(MERSENNE)).alias(f"mh_{i}")
         for i, (a, b) in enumerate(_perm_params(n_perm, seed))
@@ -94,14 +106,30 @@ def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
 def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
                       text_col: str = "text", k: int = 5, n_perm: int = 64,
                       bands: int = 16, threshold: float = 0.8,
-                      seed: int = 42, max_bucket: int = 1000) -> DataFrame:
+                      seed: int = 42, max_bucket: int = 1000,
+                      scale_shape: bool = False) -> DataFrame:
     """MinHash + banded LSH near-duplicate pairs, verified with exact
     shingle-set Jaccard ≥ threshold.
 
     Returns (a, b, jaccard) with a < b.
+
+    Two plan shapes, identical results:
+
+    * scale_shape=False (default): signature and verify share one
+      distinct-explode subtree → ReusedExchange computes the shingle
+      table once. Fastest measured at sandbox scale (sf0.1: 8.5 s vs
+      11.8 s without the shared distinct, vs 14.3 s for the semi-join
+      verify — candidates here are a large corpus fraction).
+    * scale_shape=True: the 10^12-doc shape. Signatures aggregate the
+      RAW exploded shingles (map-side partial min → the only full
+      exchange carries 64 longs per doc, never shingle strings);
+      verify first semi-joins the corpus down to candidate docs and
+      explodes only those. Correct whenever candidates ≪ corpus —
+      exactly the regime a corpus-wide distinct cannot survive.
     """
     rows = n_perm // bands
-    sig = minhash_signatures(docs, id_col, text_col, k, n_perm, seed)
+    sig = minhash_signatures(docs, id_col, text_col, k, n_perm, seed,
+                             dedup_shingles=not scale_shape)
     band_cols = [
         F.struct(F.lit(bi).alias("band_idx"),
                  F.xxhash64(*[f"mh_{bi * rows + r}" for r in range(rows)])
@@ -128,7 +156,13 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
         .select(F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b"))
         .distinct()
     )
-    jac = jaccard_for_pairs(docs, cand, id_col, text_col, k)
+    verify_docs = docs
+    if scale_shape:
+        cand_ids = (cand.select(F.col("a").alias(id_col))
+                    .unionByName(cand.select(F.col("b").alias(id_col)))
+                    .distinct())
+        verify_docs = docs.join(cand_ids, id_col, "left_semi")
+    jac = jaccard_for_pairs(verify_docs, cand, id_col, text_col, k)
     return jac.filter(F.col("jaccard") >= threshold)
 
 
@@ -259,12 +293,19 @@ def contamination_flags(docs: DataFrame, eval_docs: DataFrame,
         F.col(eval_id_col).alias("eval_id"),
         F.explode(shingles(F.col(eval_text_col), k)).alias("shingle"),
     ).distinct()
+    # No corpus-side distinct before the join: the eval side is
+    # broadcast precisely so corpus data never shuffles, and a pre-join
+    # distinct would exchange every corpus shingle (~n_words rows per
+    # doc — at 100 TB that one distinct shuffles ~100x the corpus
+    # bytes). Dedup AFTER the join instead: countDistinct touches only
+    # the colliding rows, and "distinct shared shingles per (doc, eval)
+    # pair" is the same quantity either way.
     sh = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(shingles(F.col(text_col), k)).alias("shingle"),
-    ).distinct()
+    )
     return (
         sh.join(F.broadcast(ev), "shingle")
         .groupBy("doc_id", "eval_id")
-        .agg(F.count("*").alias("n_collisions"))
+        .agg(F.countDistinct("shingle").alias("n_collisions"))
     )

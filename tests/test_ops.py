@@ -48,6 +48,17 @@ def test_minhash_lsh_finds_planted_near_dups(docs):
     assert all(p.jaccard > 0.6 for p in near_hits)
 
 
+def test_minhash_scale_shape_identical_results(docs):
+    """scale_shape only changes the plan (raw-explode signatures +
+    semi-join verify) — pairs and jaccard values must be identical."""
+    base = {(p.a, p.b): p.jaccard
+            for p in dedup.minhash_lsh_pairs(docs, threshold=0.6).collect()}
+    scaled = {(p.a, p.b): p.jaccard
+              for p in dedup.minhash_lsh_pairs(
+                  docs, threshold=0.6, scale_shape=True).collect()}
+    assert base == scaled
+
+
 def test_simhash_finds_planted_near_dups(docs):
     pairs = dedup.simhash_pairs(docs, max_hamming=3).collect()
     found = {(p.a, p.b) for p in pairs}
@@ -232,6 +243,21 @@ def test_contamination_flags(spark):
     # doc 2 embeds one contiguous 13-gram of eval 100; doc 1 is clean;
     # doc 3 (<k words) matches eval 101 via the whole-text fallback
     assert got == {(2, 100): 1, (3, 101): 1}
+
+
+def test_contamination_counts_distinct_shared_shingles(spark):
+    """A doc repeating the same contaminated 13-gram must count it
+    once (post-join countDistinct replaces the pre-join corpus-wide
+    distinct — the result is the same quantity)."""
+    from pdf_extractor_spark.ops.dedup import contamination_flags
+
+    gram = " ".join(f"w{i}" for i in range(13))
+    corpus = spark.createDataFrame(
+        [(1, gram + " filler " + gram)], "doc_id long, text string")
+    ev = spark.createDataFrame([(100, gram)], "eval_id long, text string")
+    got = {(r.doc_id, r.eval_id): r.n_collisions
+           for r in contamination_flags(corpus, ev).collect()}
+    assert got == {(1, 100): 1}
 
 
 def test_repetition_features_edges(spark):

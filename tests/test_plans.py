@@ -89,6 +89,40 @@ def test_zero_fill_dim_is_broadcast(spark):
         "BroadcastHashJoin" in _plan(ser)
 
 
+def test_minhash_scale_shape_single_exchange(spark, sf_dir):
+    """With dedup_shingles=False the signature aggregation must be the
+    one-exchange shape: map-side partial min, then a single
+    hashpartitioning(doc_id) exchange carrying 64 longs per doc —
+    never a full-width distinct of shingle strings."""
+    from pdf_extractor_spark.ops import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    lean = dedup.minhash_signatures(docs, dedup_shingles=False)
+    assert _plan(lean).count("Exchange hashpartitioning") == 1
+    # dedup_shingles=True compiles to the SAME single-exchange plan
+    # when signatures are built standalone: Spark 4's
+    # RemoveRedundantAggregates drops the distinct beneath the
+    # duplicate-agnostic min. The flag only matters inside
+    # minhash_lsh_pairs, where the distinct subtree is shared with the
+    # verify stage (ReusedExchange) and must not be eliminated.
+    shared = dedup.minhash_signatures(docs, dedup_shingles=True)
+    assert _plan(shared).count("Exchange hashpartitioning") == 1
+
+
+def test_contamination_no_corpus_exchange_before_join(spark, sf_dir):
+    """Corpus shingles must flow straight into the broadcast join (no
+    pre-join distinct exchange); the only keyed exchanges belong to the
+    post-join countDistinct over colliding rows."""
+    from pdf_extractor_spark.ops import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ev = docs.limit(5).select(F.col("doc_id").alias("eval_id"), "text")
+    df = dedup.contamination_flags(docs, ev)
+    plan = _plan(df)
+    assert "BroadcastExchange" in plan      # eval side broadcast
+    assert plan.count("Exchange hashpartitioning") <= 2
+
+
 def test_corpus_proportional_joins_not_hinted(spark):
     """A6's adjustment table (one row per url/year/month) and A8's
     include-flag table (one row per url) grow with the corpus — a
