@@ -15,6 +15,12 @@ Outputs under --out:
   curated/         kept documents, all input columns preserved
   near_dup_pairs/  (a, b, …) pair evidence (when --near-dup != none)
   audit/           one row: input/kept/pair counts + parameters
+  stage_counts/    per-stage drop accounting (stage, n_docs): each
+                   document's first failing gate — quality / language /
+                   exact_dup / near_dup / kept; sums to input_docs
+
+Optional Gopher-style repetition ceilings (--max-dup-word-frac /
+--max-top-word-frac / --max-dup-bigram-frac) join the quality gate.
 """
 
 from __future__ import annotations
@@ -27,7 +33,8 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 from pyspark.sql import functions as F  # noqa: E402
 
-from pdf_extractor_spark.ops.curate import curate_corpus  # noqa: E402
+from pdf_extractor_spark.ops.curate import (  # noqa: E402
+    curate_corpus, curation_stage_counts)
 from pdf_extractor_spark.ops.dedup import (  # noqa: E402
     minhash_lsh_pairs, simhash_pairs)
 from pdf_extractor_spark.session import get_spark  # noqa: E402
@@ -49,6 +56,9 @@ def main() -> None:
     ap.add_argument("--min-tokens", type=int, default=5)
     ap.add_argument("--max-digit-ratio", type=float, default=0.2)
     ap.add_argument("--max-punct-ratio", type=float, default=0.3)
+    ap.add_argument("--max-dup-word-frac", type=float, default=None)
+    ap.add_argument("--max-top-word-frac", type=float, default=None)
+    ap.add_argument("--max-dup-bigram-frac", type=float, default=None)
     ap.add_argument("--langs", default="pt,en")
     args = ap.parse_args()
 
@@ -72,13 +82,16 @@ def main() -> None:
         pairs = pairs.persist()
         pairs.write.mode("overwrite").parquet(f"{out}/near_dup_pairs")
 
-    kept = curate_corpus(
-        docs, near_dup_pairs=pairs,
+    gate_kwargs = dict(
         id_col=args.id_col, text_col=args.text_col,
         min_tokens=args.min_tokens,
         max_digit_ratio=args.max_digit_ratio,
         max_punct_ratio=args.max_punct_ratio,
-        keep_langs=tuple(args.langs.split(",")))
+        keep_langs=tuple(args.langs.split(",")),
+        max_dup_word_frac=args.max_dup_word_frac,
+        max_top_word_frac=args.max_top_word_frac,
+        max_dup_bigram_frac=args.max_dup_bigram_frac)
+    kept = curate_corpus(docs, near_dup_pairs=pairs, **gate_kwargs)
     curated = docs.join(
         kept.select(F.col("doc_id").alias(args.id_col)),
         args.id_col, "left_semi")
@@ -95,6 +108,14 @@ def main() -> None:
         "max_digit_ratio double, max_punct_ratio double, langs string")
     audit.withColumn("audit_ts", F.current_timestamp()) \
         .write.mode("append").parquet(f"{out}/audit")
+
+    # per-stage drop accounting — second audit artifact; `kept` here
+    # must (and does, by construction + tests) equal kept_docs above
+    stages = curation_stage_counts(docs, near_dup_pairs=pairs,
+                                   **gate_kwargs)
+    (stages.withColumn("run_id", F.lit(args.run_id))
+     .write.mode("append").parquet(f"{out}/stage_counts"))
+
     print(f"[{args.run_id}] curated {n_kept}/{n_in} documents "
           f"({n_pairs} near-dup pairs) → {out}")
 

@@ -40,17 +40,10 @@ PT_WORDS = "de|da|do|que|em|para|com|uma|os|as|dos|das|no|na|por|se"
 EN_WORDS = "the|of|and|to|in|is|that|it|for|on|was|with|as|at|by|be|this"
 
 
-def curate_corpus(docs: DataFrame, near_dup_pairs: DataFrame | None = None,
-                  id_col: str = "doc_id", text_col: str = "text",
-                  min_tokens: int = 5, max_digit_ratio: float = 0.2,
-                  max_punct_ratio: float = 0.3,
-                  keep_langs: tuple[str, ...] = ("pt", "en")) -> DataFrame:
-    """Returns the curated corpus as (doc_id, lang_pred, n_tokens).
-
-    `near_dup_pairs`: optional (a, b, …) DataFrame with a < b; every
-    doc appearing as `b` is dropped (stage 4). Pass the output of any
-    pair generator from ``ops.dedup`` / ``ops.similarity``.
-    """
+def _gate_features(docs: DataFrame, id_col: str, text_col: str,
+                   with_repetition: bool) -> DataFrame:
+    """The shared single-projection feature pass behind `curate_corpus`
+    and `curation_stage_counts` (everything collapses into the scan)."""
     t = F.col(text_col)
     trimmed = F.trim(t)
     n_tokens = (F.when(trimmed == "", 0)
@@ -66,18 +59,68 @@ def curate_corpus(docs: DataFrame, near_dup_pairs: DataFrame | None = None,
     lang_pred = (F.when((pt == 0) & (en == 0), "und")
                  .when(pt >= en, "pt").otherwise("en"))
 
-    feat = docs.select(
+    cols = [
         F.col(id_col).alias("doc_id"),
         n_tokens.cast("bigint").alias("n_tokens"),
         digit_ratio.alias("digit_ratio"),
         punct_ratio.alias("punct_ratio"),
         lang_pred.alias("lang_pred"),
         F.md5(normalize_text(t)).alias("content_hash"),
-    )
-    gated = feat.filter(
+    ]
+    if with_repetition:
+        from .textstats import repetition_cols
+
+        cols += [c.alias(name) for name, c in repetition_cols(t).items()]
+    return docs.select(*cols)
+
+
+def _quality_pred(min_tokens: int, max_digit_ratio: float,
+                  max_punct_ratio: float,
+                  max_dup_word_frac: float | None,
+                  max_top_word_frac: float | None,
+                  max_dup_bigram_frac: float | None):
+    pred = (
         (F.col("n_tokens") >= min_tokens)
         & (F.col("digit_ratio") <= max_digit_ratio)
         & (F.col("punct_ratio") <= max_punct_ratio)
+    )
+    # Gopher-style repetition ceilings — optional extra quality gates,
+    # same codegen pass as the ratio gates (no extra scan or shuffle)
+    if max_dup_word_frac is not None:
+        pred = pred & (F.col("dup_word_frac") <= max_dup_word_frac)
+    if max_top_word_frac is not None:
+        pred = pred & (F.col("top_word_frac") <= max_top_word_frac)
+    if max_dup_bigram_frac is not None:
+        pred = pred & (F.col("dup_bigram_frac") <= max_dup_bigram_frac)
+    return pred
+
+
+def curate_corpus(docs: DataFrame, near_dup_pairs: DataFrame | None = None,
+                  id_col: str = "doc_id", text_col: str = "text",
+                  min_tokens: int = 5, max_digit_ratio: float = 0.2,
+                  max_punct_ratio: float = 0.3,
+                  keep_langs: tuple[str, ...] = ("pt", "en"),
+                  max_dup_word_frac: float | None = None,
+                  max_top_word_frac: float | None = None,
+                  max_dup_bigram_frac: float | None = None) -> DataFrame:
+    """Returns the curated corpus as (doc_id, lang_pred, n_tokens).
+
+    `near_dup_pairs`: optional (a, b, …) DataFrame with a < b; every
+    doc appearing as `b` is dropped (stage 4). Pass the output of any
+    pair generator from ``ops.dedup`` / ``ops.similarity``.
+
+    The three `max_*_frac` ceilings are Gopher-style repetition gates
+    (see ``textstats.repetition_cols``); None disables a ceiling. They
+    join stage 1 — same single projection, filters still push to the
+    scan.
+    """
+    rep = any(x is not None for x in
+              (max_dup_word_frac, max_top_word_frac, max_dup_bigram_frac))
+    feat = _gate_features(docs, id_col, text_col, with_repetition=rep)
+    gated = feat.filter(
+        _quality_pred(min_tokens, max_digit_ratio, max_punct_ratio,
+                      max_dup_word_frac, max_top_word_frac,
+                      max_dup_bigram_frac)
         & F.col("lang_pred").isin(*keep_langs)
     )
     w = Window.partitionBy("content_hash").orderBy("doc_id")
@@ -93,6 +136,67 @@ def curate_corpus(docs: DataFrame, near_dup_pairs: DataFrame | None = None,
         drop = near_dup_pairs.select(F.col("b").alias("doc_id")).distinct()
         out = out.join(drop, "doc_id", "left_anti")
     return out
+
+
+def curation_stage_counts(docs: DataFrame,
+                          near_dup_pairs: DataFrame | None = None,
+                          id_col: str = "doc_id", text_col: str = "text",
+                          min_tokens: int = 5, max_digit_ratio: float = 0.2,
+                          max_punct_ratio: float = 0.3,
+                          keep_langs: tuple[str, ...] = ("pt", "en"),
+                          max_dup_word_frac: float | None = None,
+                          max_top_word_frac: float | None = None,
+                          max_dup_bigram_frac: float | None = None
+                          ) -> DataFrame:
+    """Per-stage drop accounting for the curation pipeline: one row per
+    stage — quality / language / exact_dup / near_dup / kept — with the
+    number of documents whose FIRST failing stage it is. The counts sum
+    to the input count, and `kept` equals ``curate_corpus``'s row count
+    under identical parameters (asserted in tests).
+
+    Single-pass plan: the same scan-side feature projection, one
+    conditional running count over the content-hash window (the same
+    exchange the dedup stage already pays — a doc's position among the
+    *qualified* members of its hash group), one left join against the
+    pair table's drop side, then a tiny stage aggregation. No second
+    scan of the corpus.
+    """
+    rep = any(x is not None for x in
+              (max_dup_word_frac, max_top_word_frac, max_dup_bigram_frac))
+    feat = _gate_features(docs, id_col, text_col, with_repetition=rep)
+    quality_ok = _quality_pred(min_tokens, max_digit_ratio, max_punct_ratio,
+                               max_dup_word_frac, max_top_word_frac,
+                               max_dup_bigram_frac)
+    lang_ok = F.col("lang_pred").isin(*keep_langs)
+    qualified = (quality_ok & lang_ok).cast("int")
+    # position among qualified docs in the hash group (doc_id order):
+    # qualified doc with pos 1 is the exact-dedup survivor
+    w = (Window.partitionBy("content_hash").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    # coalesce to false: a null predicate (e.g. null text) drops the
+    # doc in curate_corpus's filter, so it must attribute to the gate
+    # stage here too, not fall through the when-chain
+    staged = feat.select(
+        "doc_id",
+        F.coalesce(quality_ok, F.lit(False)).alias("quality_ok"),
+        F.coalesce(lang_ok, F.lit(False)).alias("lang_ok"),
+        (F.sum(qualified).over(w)).alias("q_pos"),
+    )
+    if near_dup_pairs is not None:
+        drop = (near_dup_pairs.select(F.col("b").alias("doc_id"))
+                .distinct().withColumn("near_dropped", F.lit(True)))
+        staged = staged.join(drop, "doc_id", "left")
+    else:
+        staged = staged.withColumn("near_dropped", F.lit(None).cast("boolean"))
+    stage = (
+        F.when(~F.col("quality_ok"), "quality")
+        .when(~F.col("lang_ok"), "language")
+        .when(F.col("q_pos") > 1, "exact_dup")
+        .when(F.coalesce("near_dropped", F.lit(False)), "near_dup")
+        .otherwise("kept")
+    )
+    return (staged.groupBy(stage.alias("stage"))
+            .agg(F.count("*").alias("n_docs")))
 
 
 def deterministic_sample(docs: DataFrame, rates: DataFrame,

@@ -67,17 +67,45 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
     return rng.standard_normal((n_planes, dim))
 
 
-def hyperplane_signature(vec: Column, planes: np.ndarray) -> Column:
-    """Sign-of-projection bit signature as an int column per plane-group."""
-    bits = []
-    for i, p in enumerate(planes):
-        plane = F.array(*[F.lit(float(x)) for x in p])
-        proj = _dot(vec, plane)
-        bits.append(F.when(proj >= 0, F.lit(1 << i)).otherwise(F.lit(0)))
-    acc = bits[0]
-    for b in bits[1:]:
-        acc = acc + b
-    return acc.cast("long")
+def _planes_lit(planes: np.ndarray) -> Column:
+    """The plane matrix as one nested array expression. Every element
+    is foldable, so Catalyst's ConstantFolding collapses the whole
+    thing into a SINGLE Literal node at optimization time — the
+    generated code references one constant array instead of unrolling
+    n_planes × dim literal expressions (which cost a measured ~35 s of
+    codegen/JIT per fresh JVM at ANN sizes)."""
+    return F.array(*[F.array(*[F.lit(float(x)) for x in row])
+                     for row in planes])
+
+
+def hyperplane_signature(vec: Column, planes: np.ndarray,
+                         unrolled: bool = False) -> Column:
+    """Sign-of-projection bit signature as an int column per plane-group.
+
+    Default is the data-driven form: one folded plane-matrix literal +
+    higher-order functions, value-identical to the unrolled form (the
+    per-plane dot product is the same zip_with/aggregate expression;
+    bit weights are exact integers). `unrolled=True` keeps the round-2
+    literal-per-plane expansion for the parity test."""
+    if unrolled:
+        bits = []
+        for i, p in enumerate(planes):
+            plane = F.array(*[F.lit(float(x)) for x in p])
+            proj = _dot(vec, plane)
+            bits.append(F.when(proj >= 0, F.lit(1 << i)).otherwise(F.lit(0)))
+        acc = bits[0]
+        for b in bits[1:]:
+            acc = acc + b
+        return acc.cast("long")
+    pl = _planes_lit(planes)
+    # bit i has weight 2^i: emit 0/1 per plane, then a reversed Horner
+    # fold (acc*2 + bit) — integer-exact, same value as the sum of
+    # (1 << i) terms.
+    bits = F.transform(
+        pl, lambda p: F.when(_dot(vec, p) >= 0, F.lit(1)).otherwise(F.lit(0)))
+    return F.aggregate(
+        F.reverse(bits), F.lit(0).cast("long"),
+        lambda acc, b: acc * 2 + b)
 
 
 def lsh_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
@@ -152,19 +180,38 @@ def fit_ivf_centroids(embeddings: DataFrame, n_cells: int = 16,
     return np.array(model.clusterCenters())
 
 
-def _cell_ranking(vec: Column, centroids: np.ndarray) -> Column:
+def _cell_ranking(vec: Column, centroids: np.ndarray,
+                  unrolled: bool = False) -> Column:
     """Array of cell ids ordered by ascending L2 distance to `vec`.
     argmin_c |x-c|² = argmin_c (|c|² - 2·x·c) — |x|² is constant per
     row, so only the cross term + centroid norms are computed (JVM
-    expressions, no Python)."""
-    cells = []
-    for ci, c in enumerate(centroids):
-        plane = F.array(*[F.lit(float(x)) for x in c])
-        norm2 = float(np.dot(c, c))
-        score = F.lit(norm2) - F.lit(2.0) * _dot(vec, plane)
-        cells.append(F.struct(score.alias("d"), F.lit(ci).alias("cell")))
-    ranked = F.array_sort(F.array(*cells))
-    return F.transform(ranked, lambda s: s["cell"])
+    expressions, no Python).
+
+    Default is data-driven: the (norm², centroid, cell) table is one
+    folded literal (see `_planes_lit`); the distance arithmetic is the
+    identical expression per cell, so values — and therefore the
+    ranking — are bit-equal to the unrolled form."""
+    if unrolled:
+        cells = []
+        for ci, c in enumerate(centroids):
+            plane = F.array(*[F.lit(float(x)) for x in c])
+            norm2 = float(np.dot(c, c))
+            score = F.lit(norm2) - F.lit(2.0) * _dot(vec, plane)
+            cells.append(F.struct(score.alias("d"), F.lit(ci).alias("cell")))
+        ranked = F.array_sort(F.array(*cells))
+        return F.transform(ranked, lambda s: s["cell"])
+    table = F.array(*[
+        F.struct(
+            F.lit(float(np.dot(c, c))).alias("n2"),
+            F.array(*[F.lit(float(x)) for x in c]).alias("c"),
+            F.lit(ci).alias("cell"))
+        for ci, c in enumerate(centroids)])
+    scored = F.transform(
+        table,
+        lambda s: F.struct(
+            (s["n2"] - F.lit(2.0) * _dot(vec, s["c"])).alias("d"),
+            s["cell"].alias("cell")))
+    return F.transform(F.array_sort(scored), lambda s: s["cell"])
 
 
 def ivf_topk(embeddings: DataFrame, queries: DataFrame,

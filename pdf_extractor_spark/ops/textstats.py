@@ -103,13 +103,12 @@ def fingerprint(docs: DataFrame, id_col: str = "doc_id",
     )
 
 
-def repetition_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Within-document repetition signals (the Gopher/MassiveText
-    family): duplicate-word fraction, most-frequent-word fraction, and
-    duplicate-bigram fraction. High values mark boilerplate/spam for
-    the quality gate. Pure array expressions — one codegen pass, no
-    shuffle, no UDF."""
-    words = F.split(normalize_text(F.col(text_col)), " ")
+def repetition_cols(text: Column) -> dict[str, Column]:
+    """The three Gopher/MassiveText repetition expressions as columns —
+    shared by `repetition_features` and the curation gate's repetition
+    ceilings (`ops.curate.curate_corpus`), so both always compute the
+    identical quantity."""
+    words = F.split(normalize_text(text), " ")
     n = F.size(words)
     safe_n = F.greatest(n, F.lit(1))
     distinct_frac = F.size(F.array_distinct(words)) / safe_n
@@ -134,8 +133,17 @@ def repetition_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
         n >= 2,
         F.round(1.0 - F.size(F.array_distinct(bigrams)) / (n - 1), 6),
     ).otherwise(F.lit(0.0))
-    return docs.withColumns({
+    return {
         "dup_word_frac": F.round(1.0 - distinct_frac, 6),
         "top_word_frac": F.round(top_word_n / safe_n, 6),
         "dup_bigram_frac": dup_bigram,
-    })
+    }
+
+
+def repetition_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Within-document repetition signals (the Gopher/MassiveText
+    family): duplicate-word fraction, most-frequent-word fraction, and
+    duplicate-bigram fraction. High values mark boilerplate/spam for
+    the quality gate. Pure array expressions — one codegen pass, no
+    shuffle, no UDF."""
+    return docs.withColumns(repetition_cols(F.col(text_col)))

@@ -480,40 +480,45 @@ def o5_o6_topk(spark, sf_dir):
     return o5.unionByName(o6)
 
 
-@q("o1_intra_group_sort", """
-SELECT user_id, event_id,
-       ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pos
+@q("o1_o2_geometry_order", """
+SELECT 'rownum' AS src, user_id, CAST(event_id AS BIGINT) AS k,
+       CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+            AS BIGINT) AS v1,
+       CAST(NULL AS BIGINT) AS v2
 FROM events
-""")
-def o1_intra_group_sort(spark, sf_dir):
-    # O1 relational twin: the kernel's per-page word sort (cy, then x0)
-    # = deterministic total order within a partition (G3 order pass,
-    # engine2/kernel.py _month_blocks)
-    e = T(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    return e.select("user_id", "event_id",
-                    F.row_number().over(w).alias("pos"))
-
-
-@q("o2_block_order_bounds", """
-WITH blk AS (
+UNION ALL
+SELECT 'blocks' AS src, user_id, CAST(day AS BIGINT) AS k, y_start AS v1,
+       LEAD(y_start) OVER (PARTITION BY user_id ORDER BY y_start) AS v2
+FROM (
   SELECT user_id, CAST(EXTRACT(day FROM ts) AS INTEGER) AS day,
          epoch_us(MIN(ts)) AS y_start
   FROM events GROUP BY 1, 2)
-SELECT user_id, day, y_start,
-       LEAD(y_start) OVER (PARTITION BY user_id ORDER BY y_start) AS next_start
-FROM blk
 """)
-def o2_block_order_bounds(spark, sf_dir):
-    # O2 relational twin: blocks sorted by y_start, each bounded by the
-    # next block's start (G3 sort + G4 LEAD, kernel _month_blocks tail)
+def o1_o2_geometry_order(spark, sf_dir):
+    """O1 + O2 in one driver row (50-query gate). `rownum` branch is
+    the O1 relational twin — the kernel's per-page word sort (cy, then
+    x0) = deterministic total order within a partition (G3 order pass,
+    engine2/kernel.py _month_blocks): k=event_id, v1=pos. `blocks`
+    branch is the O2 twin — blocks sorted by y_start, each bounded by
+    the next block's start (G3 sort + G4 LEAD, kernel _month_blocks
+    tail): k=day, v1=y_start, v2=next_start."""
     e = T(spark, sf_dir, "events")
+    w1 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    o1 = e.select(
+        F.lit("rownum").alias("src"), "user_id",
+        F.col("event_id").cast("long").alias("k"),
+        F.row_number().over(w1).cast("long").alias("v1"),
+        F.lit(None).cast("long").alias("v2"))
     blk = e.groupBy(
         "user_id", F.dayofmonth("ts").cast("int").alias("day")
     ).agg(F.unix_micros(F.min("ts").cast("timestamp")).alias("y_start"))
-    w = Window.partitionBy("user_id").orderBy("y_start")
-    return blk.select("user_id", "day", "y_start",
-                      F.lead("y_start").over(w).alias("next_start"))
+    w2 = Window.partitionBy("user_id").orderBy("y_start")
+    o2 = blk.select(
+        F.lit("blocks").alias("src"), "user_id",
+        F.col("day").cast("long").alias("k"),
+        F.col("y_start").alias("v1"),
+        F.lead("y_start").over(w2).alias("v2"))
+    return o1.unionByName(o2)
 
 
 # ---------------------------------------------------------------------------
@@ -1049,10 +1054,9 @@ def f10_filename_slugs(spark, sf_dir):
         .select("url", "file_slug", "folder_slug", "filename_norm")
 
 
-def _curate_sql() -> str:
-    # hybrid oracle: the quality/lang/exact-dedup stages are pure SQL
-    # over the same planted corpus; only the MinHash near-dup pair set
-    # (non-SQL-expressible) is fed from the pure-Python golden parquet.
+def _curate_ctes() -> str:
+    # shared CTE prefix (planted corpus + per-doc features) for the
+    # curate_corpus and curate_stage_counts oracles
     return f"""
 WITH planted AS (
   SELECT doc_id, text FROM documents
@@ -1074,7 +1078,15 @@ WITH planted AS (
          len(regexp_extract_all(text, '(?i)\\b({_EN})\\b')) AS en,
          md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS h
   FROM planted
-), gated AS (
+)"""
+
+
+def _curate_sql() -> str:
+    # hybrid oracle: the quality/lang/exact-dedup stages are pure SQL
+    # over the same planted corpus; only the MinHash near-dup pair set
+    # (non-SQL-expressible) is fed from the pure-Python golden parquet.
+    return _curate_ctes() + f""",
+gated AS (
   SELECT *, CASE WHEN pt = 0 AND en = 0 THEN 'und'
                  WHEN pt >= en THEN 'pt' ELSE 'en' END AS lang_pred
   FROM feat
@@ -1091,16 +1103,41 @@ WHERE doc_id NOT IN (
 """
 
 
-@q("curate_corpus", _curate_sql())
-def curate_corpus_pipeline(spark, sf_dir):
-    """Flagship training-data curation composition: quality gate →
-    language filter → exact dedup → MinHash near-dup removal, over the
-    documents table with planted controls (exact copies at +1e6,
-    one-token-perturbed near-dups at +2e6, low-quality docs at +3e6 —
-    each exercising exactly one stage)."""
-    from .ops.curate import curate_corpus
-    from .ops.dedup import minhash_lsh_pairs
+def _curate_stage_sql() -> str:
+    # same planted corpus + golden pair table; mirrors
+    # curation_stage_counts's first-failing-stage attribution
+    return _curate_ctes() + f""",
+flags AS (
+  SELECT doc_id, h,
+         (n_tokens >= 5 AND digit_ratio <= 0.2 AND punct_ratio <= 0.3)
+           AS quality_ok,
+         (CASE WHEN pt = 0 AND en = 0 THEN 'und'
+               WHEN pt >= en THEN 'pt' ELSE 'en' END) IN ('pt', 'en')
+           AS lang_ok
+  FROM feat
+), pos AS (
+  SELECT *, SUM(CASE WHEN quality_ok AND lang_ok THEN 1 ELSE 0 END)
+              OVER (PARTITION BY h ORDER BY doc_id
+                    ROWS UNBOUNDED PRECEDING) AS q_pos
+  FROM flags
+)
+SELECT stage, COUNT(*) AS n_docs FROM (
+  SELECT CASE
+           WHEN NOT quality_ok THEN 'quality'
+           WHEN NOT lang_ok THEN 'language'
+           WHEN q_pos > 1 THEN 'exact_dup'
+           WHEN doc_id IN (SELECT b FROM read_parquet(
+               '{GOLDEN_DIR}/curate_neardup_pairs.parquet'))
+             THEN 'near_dup'
+           ELSE 'kept' END AS stage
+  FROM pos) GROUP BY stage
+"""
 
+
+def _planted_curation_corpus(spark, sf_dir):
+    """documents + planted controls (exact copies at +1e6, one-token-
+    perturbed near-dups at +2e6, low-quality docs at +3e6 — each
+    exercising exactly one curation stage)."""
     d = T(spark, sf_dir, "documents").select("doc_id", "text")
     copies = (d.filter(F.col("doc_id") < 3)
               .withColumn("doc_id", F.col("doc_id") + 1000000))
@@ -1111,10 +1148,36 @@ def curate_corpus_pipeline(spark, sf_dir):
     lowq = spark.createDataFrame(
         [(3000000, "1 2 3"), (3000001, "1 2 3 4 5 6")],
         "doc_id long, text string")
-    planted = (d.unionByName(copies).unionByName(perturbed)
-               .unionByName(lowq))
+    return (d.unionByName(copies).unionByName(perturbed)
+            .unionByName(lowq))
+
+
+@q("curate_corpus", _curate_sql())
+def curate_corpus_pipeline(spark, sf_dir):
+    """Flagship training-data curation composition: quality gate →
+    language filter → exact dedup → MinHash near-dup removal, over the
+    planted curation corpus (see `_planted_curation_corpus`)."""
+    from .ops.curate import curate_corpus
+    from .ops.dedup import minhash_lsh_pairs
+
+    planted = _planted_curation_corpus(spark, sf_dir)
     pairs = minhash_lsh_pairs(planted, threshold=0.8)
     return curate_corpus(planted, near_dup_pairs=pairs)
+
+
+@q("curate_stage_counts", _curate_stage_sql())
+def curate_stage_counts(spark, sf_dir):
+    """Per-stage drop accounting for the flagship curation pipeline:
+    (stage, n_docs) where stage is each document's first failing gate
+    — quality / language / exact_dup / near_dup / kept. Counts sum to
+    the planted-corpus size and `kept` matches `curate_corpus`'s row
+    count (pinned in tests)."""
+    from .ops.curate import curation_stage_counts
+    from .ops.dedup import minhash_lsh_pairs
+
+    planted = _planted_curation_corpus(spark, sf_dir)
+    pairs = minhash_lsh_pairs(planted, threshold=0.8)
+    return curation_stage_counts(planted, near_dup_pairs=pairs)
 
 
 @q("sample_mixture", """

@@ -100,6 +100,31 @@ def test_cosine_topk_exact_and_lsh_agree(embeddings):
     assert hits >= 3  # recall@1 ≥ 0.6 on 5 queries
 
 
+def test_signature_data_driven_matches_unrolled(embeddings):
+    """The folded-literal signature/ranking expressions must be
+    value-identical to the round-2 unrolled forms (same per-plane dot
+    expression, integer-exact bit weights, same distance arithmetic)."""
+    import numpy as np
+
+    planes = similarity._hyperplanes(64, 8, seed=7)
+    cents = np.asarray([r.embedding for r in
+                        embeddings.orderBy("vec_id").limit(6).collect()],
+                       dtype=float)
+    df = embeddings.limit(50).select(
+        "vec_id",
+        similarity.hyperplane_signature(F.col("embedding"), planes)
+        .alias("sig_dd"),
+        similarity.hyperplane_signature(F.col("embedding"), planes,
+                                        unrolled=True).alias("sig_un"),
+        similarity._cell_ranking(F.col("embedding"), cents).alias("rk_dd"),
+        similarity._cell_ranking(F.col("embedding"), cents,
+                                 unrolled=True).alias("rk_un"),
+    )
+    for r in df.collect():
+        assert r.sig_dd == r.sig_un
+        assert r.rk_dd == r.rk_un
+
+
 def test_ivf_topk_recall(embeddings):
     """IVF (KMeans coarse quantizer + nprobe cells) recall vs the exact
     baseline; recall should rise with nprobe and hit 1.0 when probing
@@ -204,6 +229,79 @@ def test_curate_corpus_stages(spark):
     # without a pair table the near-dup doc survives
     kept_nond = sorted(r.doc_id for r in curate_corpus(docs).collect())
     assert kept_nond == [0, 1, 6]
+
+
+def test_curation_stage_counts_consistent(spark, sf_dir):
+    """Stage counts must sum to the input size, and `kept` must equal
+    curate_corpus's row count under identical parameters (both with
+    and without a pair table)."""
+    from pdf_extractor_spark.ops.curate import (curate_corpus,
+                                                curation_stage_counts)
+    from pdf_extractor_spark.ops.dedup import minhash_lsh_pairs
+
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id", "text"))
+    n_in = docs.count()
+    for pairs in (None, minhash_lsh_pairs(docs, threshold=0.8)):
+        counts = {r.stage: r.n_docs
+                  for r in curation_stage_counts(
+                      docs, near_dup_pairs=pairs).collect()}
+        assert sum(counts.values()) == n_in
+        assert counts["kept"] == curate_corpus(
+            docs, near_dup_pairs=pairs).count()
+    assert counts.get("near_dup", 0) > 0  # generator plants near-dups
+
+
+def test_repetition_ceilings_gate(spark):
+    """Gopher-style ceilings drop the planted repetitive doc at the
+    quality stage; with ceilings off it passes."""
+    from pdf_extractor_spark.ops.curate import (curate_corpus,
+                                                curation_stage_counts)
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog today"),
+         (2, "the " * 40 + "end")],       # top_word_frac ≈ 0.97
+        "doc_id long, text string")
+    base = {r.doc_id for r in curate_corpus(docs).collect()}
+    assert base == {1, 2}
+    gated = {r.doc_id for r in
+             curate_corpus(docs, max_top_word_frac=0.5).collect()}
+    assert gated == {1}
+    counts = {r.stage: r.n_docs
+              for r in curation_stage_counts(
+                  docs, max_top_word_frac=0.5).collect()}
+    assert counts == {"kept": 1, "quality": 1}
+
+
+def test_curate_simhash_mode_oracle(spark, sf_dir):
+    """SimHash-mode curation against a pure-Python pair oracle: the
+    docs removed by the anti-join must be exactly the b-side of the
+    brute-force simhash pairs (4×16-bit pigeonhole is complete for
+    hamming ≤ 3, so brute force over the small corpus is the same
+    pair set) intersected with the otherwise-kept set."""
+    from pdf_extractor_spark import golden_oracle as G
+    from pdf_extractor_spark.ops.curate import curate_corpus
+    from pdf_extractor_spark.ops.dedup import simhash_pairs
+
+    d = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+         .select("doc_id", "text").filter(F.col("doc_id") < 80))
+    near = (d.filter(F.col("doc_id") < 4)
+            .withColumn("doc_id", F.col("doc_id") + 500000)
+            .withColumn("text", F.concat("text", F.lit(" tinyedit"))))
+    corpus = d.unionByName(near)
+    rows = [(r.doc_id, r.text) for r in corpus.collect()]
+
+    sig = {i: G._simhash(t) for i, t in rows}
+    ids = sorted(sig)
+    b_side = {b for i, a in enumerate(ids) for b in ids[i + 1:]
+              if bin(sig[a] ^ sig[b]).count("1") <= 3}
+
+    kept_none = {r.doc_id for r in curate_corpus(corpus).collect()}
+    kept_sim = {r.doc_id for r in curate_corpus(
+        corpus, near_dup_pairs=simhash_pairs(corpus, max_hamming=3)
+    ).collect()}
+    assert kept_none - kept_sim == b_side & kept_none
+    assert b_side & kept_none  # the planted near-dups are caught
 
 
 def test_documents_generator_plants_curation_work():
