@@ -252,6 +252,21 @@ def test_curation_stage_counts_consistent(spark, sf_dir):
     assert counts.get("near_dup", 0) > 0  # generator plants near-dups
 
 
+def test_stage_counts_partition_invariant(spark, sf_dir):
+    """Stage attribution must not depend on physical partitioning
+    (running count over the content-hash window is keyed, not
+    positional)."""
+    from pdf_extractor_spark.ops.curate import curation_stage_counts
+
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id", "text"))
+    a = {r.stage: r.n_docs
+         for r in curation_stage_counts(docs).collect()}
+    b = {r.stage: r.n_docs
+         for r in curation_stage_counts(docs.repartition(7)).collect()}
+    assert a == b
+
+
 def test_repetition_ceilings_gate(spark):
     """Gopher-style ceilings drop the planted repetitive doc at the
     quality stage; with ceilings off it passes."""
