@@ -412,3 +412,160 @@ def audit_metrics_golden(n_docs: int, run_id: str = "driver-check") -> list[dict
                         carry_expired=g["carry_expired"],
                         person=g["person_name"], run_id=run_id))
     return out
+
+
+# ---------------------------------------------------------------------------
+# HTML main-content extraction (boilerplate strip) golden twin
+# ---------------------------------------------------------------------------
+# Independent of ops/boilerplate.py on purpose: the op is a hand-rolled
+# byte-stream scanner; this twin drives Python's html.parser.HTMLParser
+# and converts its (line, col) positions to char offsets via a
+# line-start table. Same spec, different machinery — agreement pins
+# both.
+
+_BP_BLOCK = {
+    "p", "div", "section", "article", "li", "td", "th", "h1", "h2",
+    "h3", "h4", "h5", "h6", "pre", "blockquote", "main",
+}
+_BP_BOILER = {"nav", "footer", "header", "aside", "script", "style"}
+
+
+def wrap_html(doc_id: int, text: str) -> str:
+    """The deterministic synthetic page used by the
+    `extract_main_content` driver query — MUST stay in lock-step with
+    `queries._wrap_html_col` (same literals, same sanitization)."""
+    t = text.replace("<", "(").replace("&", "+")
+    parts = [
+        '<html><head><title>doc</title></head><body>',
+        '<nav><a href="/">Home</a> <a href="/about">About</a>'
+        ' <a href="/contact">Contact</a></nav>',
+        '<div class="ad"><a href="x">Buy now</a>'
+        ' <a href="y">Click here</a> cheap deals</div>',
+        '<article><p>', t, '</p></article>',
+    ]
+    if doc_id % 3 == 0:
+        parts.append('<aside>related <a href="z">links</a>'
+                     ' everywhere</aside>')
+    parts.append('<footer>copyright 2026 <a href="/p">Privacy</a>'
+                 '</footer></body></html>')
+    return "".join(parts)
+
+
+class _BpFlattener:
+    """html.parser-driven flattening with exact char spans."""
+
+    def __init__(self, html: str):
+        from html.parser import HTMLParser
+
+        self.html = html
+        # char offset of each line start (HTMLParser positions are
+        # (1-based line, 0-based col))
+        self.line_off = [0]
+        for i, ch in enumerate(html):
+            if ch == "\n":
+                self.line_off.append(i + 1)
+        self.nodes: list[dict] = []
+        self.stack: list[str] = []
+        self.boiler = 0
+        self.link = 0
+        self.cur: dict | None = None
+
+        outer = self
+
+        class P(HTMLParser):
+            def __init__(self):
+                super().__init__(convert_charrefs=False)
+
+            def handle_starttag(self, tag, attrs):
+                if tag in _BP_BOILER:
+                    outer._close()
+                    outer.boiler += 1
+                elif tag in _BP_BLOCK:
+                    outer._open(tag)
+                elif tag == "a":
+                    outer.link += 1
+                outer.stack.append(tag)
+
+            def handle_startendtag(self, tag, attrs):
+                pass
+
+            def handle_endtag(self, tag):
+                if tag in _BP_BLOCK:
+                    outer._close()
+                if tag in _BP_BOILER and outer.boiler > 0:
+                    outer._close()
+                    outer.boiler -= 1
+                if tag == "a" and outer.link > 0:
+                    outer.link -= 1
+                if tag in outer.stack:
+                    while outer.stack and outer.stack[-1] != tag:
+                        outer.stack.pop()
+                    if outer.stack:
+                        outer.stack.pop()
+
+            def handle_data(self, data):
+                line, col = self.getpos()
+                start = outer.line_off[line - 1] + col
+                outer._data(data, start)
+
+        p = P()
+        p.feed(html)
+        p.close()
+        self._close()
+
+    def _open(self, tag: str) -> None:
+        self._close()
+        self.cur = dict(tag=tag, depth=len(self.stack),
+                        in_boiler=self.boiler > 0, parts=[], spans=[],
+                        link_chars=0)
+
+    def _close(self) -> None:
+        cur = self.cur
+        if cur is not None and cur["parts"]:
+            text = "".join(cur["parts"])
+            if text.strip():
+                self.nodes.append(dict(
+                    idx=len(self.nodes), tag=cur["tag"],
+                    depth=cur["depth"], in_boiler=cur["in_boiler"],
+                    text=text, n_chars=len(text),
+                    link_chars=cur["link_chars"],
+                    spans=list(cur["spans"])))
+        self.cur = None
+
+    def _data(self, data: str, start: int) -> None:
+        if self.cur is None:
+            self._open("#text")
+        self.cur["parts"].append(data)
+        self.cur["spans"].append((start, start + len(data)))
+        if self.link > 0:
+            self.cur["link_chars"] += len(data)
+
+
+def extract_main_content_golden(doc_rows: list[tuple[int, str]],
+                                min_text_density: float = 10.0,
+                                max_link_density: float = 0.33
+                                ) -> list[dict]:
+    import hashlib
+    import json
+
+    out = []
+    for doc_id, text in doc_rows:
+        html = wrap_html(doc_id, text or "")
+        nodes = _BpFlattener(html).nodes
+        kept = [nd for nd in nodes
+                if not nd["in_boiler"]
+                and nd["link_chars"] / max(nd["n_chars"], 1)
+                <= max_link_density
+                and nd["n_chars"] / (1.0 + nd["depth"] * 0.25)
+                >= min_text_density]
+        spans = [{"start": s, "end": e}
+                 for nd in kept for (s, e) in nd["spans"]]
+        spans_json = json.dumps(spans, separators=(",", ":"))
+        out.append(dict(
+            doc_id=doc_id,
+            # strip(" ") not strip(): Spark's trim removes only the
+            # space character, and the op uses F.trim
+            main_text="\n".join(nd["text"].strip(" ") for nd in kept),
+            spans_fp=hashlib.md5(spans_json.encode()).hexdigest(),
+            n_nodes=len(nodes), n_kept=len(kept)))
+    return out

@@ -659,15 +659,25 @@ SELECT doc_id,
        CASE WHEN trim(text) = '' THEN 0
             ELSE length(regexp_split_to_array(trim(text), '\\s+')) END
          AS n_tokens,
-       length(text) AS n_chars_len
+       length(text) AS n_chars_len,
+       len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS bpe_tokens
 FROM documents
 """)
 def text_token_count(spark, sf_dir):
+    """Whitespace token count + char length + BPE-ish subword-proxy
+    count (letter/digit runs + punctuation marks) in one driver row
+    (50-query gate; was text_token_count + text_bpe_token_count). The
+    (?U) Unicode flag of the Java pattern and RE2's ASCII \\w agree on
+    this corpus (ASCII text); planted non-ASCII controls live in the
+    pytest layer where Java is the reference semantics."""
+    from .ops.textstats import bpe_ish_token_count
+
     d = T(spark, sf_dir, "documents")
     t = F.trim("text")
     n = (F.when(t == "", 0).otherwise(F.size(F.split(t, r"\s+"))))
     return d.select("doc_id", n.cast("bigint").alias("n_tokens"),
-                    F.length("text").cast("bigint").alias("n_chars_len"))
+                    F.length("text").cast("bigint").alias("n_chars_len"),
+                    bpe_ish_token_count(F.col("text")).alias("bpe_tokens"))
 
 
 _PT = "de|da|do|que|em|para|com|uma|os|as|dos|das|no|na|por|se"
@@ -761,24 +771,6 @@ def text_quality_composite(spark, sf_dir):
     d = T(spark, sf_dir, "documents")
     return quality_features(d).select(
         "doc_id", "n_tokens", "stopword_ratio", "quality_score")
-
-
-@q("text_bpe_token_count", """
-SELECT doc_id,
-       len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS bpe_tokens
-FROM documents
-""")
-def text_bpe_token_count(spark, sf_dir):
-    """BPE-ish subword-proxy token count (letter/digit runs +
-    punctuation marks). The (?U) Unicode flag of the Java pattern and
-    RE2's ASCII \\w agree on this corpus (ASCII text); planted
-    non-ASCII controls live in the pytest layer where Java is the
-    reference semantics."""
-    from .ops.textstats import bpe_ish_token_count
-
-    d = T(spark, sf_dir, "documents")
-    return d.select("doc_id",
-                    bpe_ish_token_count(F.col("text")).alias("bpe_tokens"))
 
 
 @q("text_fingerprint", """
@@ -1353,6 +1345,50 @@ def multimodal_frame_plan(spark, sf_dir):
     media = synth_media_table(spark, d)
     return frame_sample_plan(media, every_ms=1000).select(
         "doc_id", F.col("frame_ts_ms").cast("bigint").alias("frame_ts_ms"))
+
+
+def _wrap_html_col(doc_id_col, text_col):
+    """Deterministic synthetic web page per document — MUST stay in
+    lock-step with `golden_oracle.wrap_html` (same literals, same
+    `<`/`&` sanitization via translate)."""
+    t = F.translate(text_col, "<&", "(+")
+    return F.concat(
+        F.lit('<html><head><title>doc</title></head><body>'),
+        F.lit('<nav><a href="/">Home</a> <a href="/about">About</a>'
+              ' <a href="/contact">Contact</a></nav>'),
+        F.lit('<div class="ad"><a href="x">Buy now</a>'
+              ' <a href="y">Click here</a> cheap deals</div>'),
+        F.lit('<article><p>'), t, F.lit('</p></article>'),
+        F.when(doc_id_col % 3 == 0,
+               F.lit('<aside>related <a href="z">links</a>'
+                     ' everywhere</aside>')).otherwise(F.lit("")),
+        F.lit('<footer>copyright 2026 <a href="/p">Privacy</a>'
+              '</footer></body></html>'),
+    )
+
+
+@q("extract_main_content", _golden_sql("extract_main_content"))
+def extract_main_content_q(spark, sf_dir):
+    """HTML boilerplate strip — the north rule's web-page tier stated
+    directly: flatten each page into a node array (Arrow-batched
+    byte-stream tokenizer, `ops/boilerplate.py`), score text/link
+    density + tag depth JVM-side, keep content blocks, emit extracted
+    text plus character-span offsets per document. Oracle: independent
+    html.parser-based pure-Python twin (golden parquet; pinned against
+    this query at sf0.001 in tests/test_goldens.py). `spans_fp` is
+    md5(to_json(spans)) because the driver canonicalizer cannot sort
+    struct arrays."""
+    from .ops.boilerplate import extract_main_content
+
+    d = T(spark, sf_dir, "documents")
+    pages = d.select(
+        "doc_id", _wrap_html_col(F.col("doc_id"), F.col("text"))
+        .alias("html_text"))
+    out = extract_main_content(pages)
+    return out.select(
+        "doc_id", "main_text",
+        F.md5(F.to_json("spans")).alias("spans_fp"),
+        "n_nodes", "n_kept")
 
 
 @q("multimodal_features", _golden_sql("multimodal_features"))

@@ -65,8 +65,9 @@ def _canon(v):
 @pytest.mark.parametrize("name", [
     "multimodal_features", "dedup_minhash_lsh", "dedup_simhash",
     "sim_lsh_topk", "dedup_ngram_jaccard", "sim_embedding_neardup",
-    "sim_ivf_topk", "extract_e1_values", "extract_e1_person_names",
-    "extract_e2_proventos", "extract_audit_metrics",
+    "sim_ivf_topk", "extract_main_content", "extract_e1_values",
+    "extract_e1_person_names", "extract_e2_proventos",
+    "extract_audit_metrics",
 ])
 def test_golden_matches_spark_query(spark, goldens, name):
     sdf = entrymod.queries()[name](spark, SF_DIR)

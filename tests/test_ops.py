@@ -340,6 +340,53 @@ def test_documents_generator_plants_curation_work():
     assert all(texts[i] in salads.values() for i in exact[:20])
 
 
+def test_boilerplate_flatten_spans_exact(spark):
+    """Every node's spans must reproduce its text byte-for-byte from
+    the original HTML string (the north rule's char-span contract)."""
+    from pdf_extractor_spark.ops.boilerplate import flatten_dom
+
+    html = ('<html><body><nav><a href="/">Home</a> now</nav>'
+            '<p>real content with enough characters to matter</p>'
+            '<div>short <a href="x">link</a> heavy <a href="y">row</a></div>'
+            '<footer>bye</footer></body></html>')
+    df = spark.createDataFrame([(1, html)], "doc_id long, html_text string")
+    nodes = flatten_dom(df).collect()[0].nodes
+    for nd in nodes:
+        joined = "".join(html[s.start:s.end] for s in nd.spans)
+        assert joined == nd.text
+        assert nd.n_chars == len(nd.text)
+    tags = {nd.tag for nd in nodes}
+    assert "p" in tags and "div" in tags
+    by_tag = {nd.tag: nd for nd in nodes}
+    assert by_tag["#text"].in_boiler          # nav text
+    assert not by_tag["p"].in_boiler
+    assert by_tag["div"].link_chars == len("link") + len("row")
+
+
+def test_boilerplate_extract_main_content(spark):
+    """Nav/ads/footer stripped; the long content paragraph survives
+    with its exact span; malformed markup degrades without throwing."""
+    from pdf_extractor_spark.ops.boilerplate import extract_main_content
+
+    content = "this is the genuine article body " * 3
+    html = ('<html><body>'
+            '<nav><a href="/">Home</a> <a href="/a">About</a></nav>'
+            f'<article><p>{content}</p></article>'
+            '<div class="ad"><a href="x">Buy</a> <a href="y">Now</a> ok</div>'
+            '<footer>copyright</footer></body></html>')
+    broken = "<p>unclosed <b>tag < 5 and trailing junk"
+    df = spark.createDataFrame(
+        [(1, html), (2, broken)], "doc_id long, html_text string")
+    out = {r.doc_id: r for r in extract_main_content(df).collect()}
+    r1 = out[1]
+    assert r1.main_text == content.strip(" ")
+    assert r1.n_kept == 1
+    assert len(r1.spans) == 1
+    s = r1.spans[0]
+    assert html[s.start:s.end] == content
+    assert out[2].n_kept >= 0  # no throw on malformed input
+
+
 def test_contamination_flags(spark):
     from pdf_extractor_spark.ops.dedup import contamination_flags
 

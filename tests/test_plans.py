@@ -89,6 +89,23 @@ def test_zero_fill_dim_is_broadcast(spark):
         "BroadcastHashJoin" in _plan(ser)
 
 
+def test_boilerplate_flatten_shuffle_free(spark, sf_dir):
+    """The HTML flatten pass must be scan → (project) → mapInPandas —
+    no exchange before the Python tokenizer (same contract as the
+    Engine-2 WBX2 kernel), and the density scoring/keep rule must stay
+    in the same stage (no exchange after it either)."""
+    from pdf_extractor_spark.ops.boilerplate import extract_main_content
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pages = docs.select(
+        "doc_id", F.concat(F.lit("<p>"), "text", F.lit("</p>"))
+        .alias("html_text"))
+    plan = _plan(extract_main_content(pages))
+    assert "MapInPandas" in plan
+    assert "Exchange" not in plan
+    assert "SortMergeJoin" not in plan
+
+
 def test_minhash_scale_shape_single_exchange(spark, sf_dir):
     """With dedup_shingles=False the signature aggregation must be the
     one-exchange shape: map-side partial min, then a single

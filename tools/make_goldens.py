@@ -54,6 +54,10 @@ SCHEMAS = {
     "extract_e2_proventos": pa.schema([
         ("url", pa.string()), ("year", pa.int32()), ("month", pa.int32()),
         ("mes_ano", pa.string()), ("valor", pa.string())]),
+    "extract_main_content": pa.schema([
+        ("doc_id", pa.int64()), ("main_text", pa.string()),
+        ("spans_fp", pa.string()), ("n_nodes", pa.int32()),
+        ("n_kept", pa.int32())]),
     "extract_audit_metrics": pa.schema([
         ("url", pa.string()), ("pages", pa.int32()),
         ("decode_failures", pa.int32()), ("conflicts", pa.int32()),
@@ -80,6 +84,7 @@ def build_goldens(sf_dir: str, n_corpus_docs: int) -> dict[str, list[dict]]:
         "curate_neardup_pairs": G.curate_neardup_pairs_golden(docs),
         "sim_embedding_neardup": G.sim_embedding_neardup_golden(embs),
         "sim_ivf_topk": G.sim_ivf_topk_golden(embs),
+        "extract_main_content": G.extract_main_content_golden(docs),
         "extract_e1_values": G.e1_values_golden(n_corpus_docs),
         "extract_e1_person_names": G.e1_person_names_golden(n_corpus_docs),
         "extract_e2_proventos": G.e2_proventos_golden(n_corpus_docs),
