@@ -508,6 +508,19 @@ class _BpFlattener:
                 start = outer.line_off[line - 1] + col
                 outer._data(data, start)
 
+            # the op's byte scanner treats entity/char refs as plain
+            # text (no '<'); reconstruct the raw source here so both
+            # implementations agree outside the sanitized corpus too
+            def handle_entityref(self, name):
+                line, col = self.getpos()
+                start = outer.line_off[line - 1] + col
+                outer._data(f"&{name};", start)
+
+            def handle_charref(self, name):
+                line, col = self.getpos()
+                start = outer.line_off[line - 1] + col
+                outer._data(f"&#{name};", start)
+
         p = P()
         p.feed(html)
         p.close()
@@ -536,7 +549,13 @@ class _BpFlattener:
         if self.cur is None:
             self._open("#text")
         self.cur["parts"].append(data)
-        self.cur["spans"].append((start, start + len(data)))
+        spans = self.cur["spans"]
+        # coalesce contiguous segments: html.parser splits text at
+        # entity-ref boundaries, the op's byte scanner does not
+        if spans and spans[-1][1] == start:
+            spans[-1] = (spans[-1][0], start + len(data))
+        else:
+            spans.append((start, start + len(data)))
         if self.link > 0:
             self.cur["link_chars"] += len(data)
 
