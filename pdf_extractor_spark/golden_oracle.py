@@ -509,17 +509,25 @@ class _BpFlattener:
                 outer._data(data, start)
 
             # the op's byte scanner treats entity/char refs as plain
-            # text (no '<'); reconstruct the raw source here so both
-            # implementations agree outside the sanitized corpus too
+            # text (no '<'); re-emit the RAW source slice (not the
+            # normalized `&name;` — the source may lack the semicolon)
+            # so both implementations agree byte-for-byte and span
+            # coalescing stitches refs back into their neighbours
             def handle_entityref(self, name):
                 line, col = self.getpos()
                 start = outer.line_off[line - 1] + col
-                outer._data(f"&{name};", start)
+                ln = 1 + len(name)
+                if outer.html[start + ln:start + ln + 1] == ";":
+                    ln += 1
+                outer._data(outer.html[start:start + ln], start)
 
             def handle_charref(self, name):
                 line, col = self.getpos()
                 start = outer.line_off[line - 1] + col
-                outer._data(f"&#{name};", start)
+                ln = 2 + len(name)
+                if outer.html[start + ln:start + ln + 1] == ";":
+                    ln += 1
+                outer._data(outer.html[start:start + ln], start)
 
         p = P()
         p.feed(html)

@@ -30,6 +30,7 @@ salted oversized-doc path applies unchanged if needed).
 
 from __future__ import annotations
 
+import re
 from typing import Iterator
 
 import pandas as pd
@@ -61,14 +62,67 @@ NODE_TYPE = T.ArrayType(T.StructType([
 ]))
 
 
-def _flatten_one(html: str) -> list[dict]:
-    """Linear byte-stream scan of one HTML string → block node list.
+# --- Tokenizer grammar (HTML5 tokenization, w3.org/TR/html5 §13.2.5;
+# behavioral spec = CPython's html.parser event stream with
+# convert_charrefs=False, which the independent golden twin in
+# golden_oracle.py drives directly). Raw-text elements get a dedicated
+# mode: inside <script>/<style> nothing is markup until the literal
+# close tag, so `if(a<b)` in script text cannot swallow the close tag.
+_RAWTEXT_ELEMS = ("script", "style")
+_RAWTEXT_CLOSE = {t: re.compile(r"</\s*%s\s*>" % t, re.IGNORECASE)
+                  for t in _RAWTEXT_ELEMS}
+# tag name: first char ASCII alpha, then anything but whitespace / > /
+# NUL; trailing whitespace and non-closing slashes are consumed.
+_TAGFIND = re.compile(r"([a-zA-Z][^\t\n\r\f />\x00]*)(?:\s|/(?!>))*")
+# one attribute: name (cannot follow a word char), optional =value with
+# single-quoted / double-quoted / bare forms; '>' inside a quoted value
+# is NOT a tag end.
+_ATTRFIND = re.compile(
+    r"((?<=[\'\"\s/])[^\s/>][^\s/=>]*)(\s*=+\s*"
+    r"(\'[^\']*\'|\"[^\"]*\"|(?![\'\"])[^>\s]*))?(?:\s|/(?!>))*")
+# whole start tag up to (excluding) its '>' — quote-aware.
+_LOCATE_STARTTAG_END = re.compile(r"""
+  <[a-zA-Z][^\t\n\r\f />\x00]*        # tag name
+  (?:[\s/]*                           # optional ws before attr name
+    (?:(?<=['"\s/])[^\s/>][^\s/=>]*   # attribute name
+      (?:\s*=+\s*                     # value indicator
+        (?:'[^']*'                    # single-quoted value
+          |"[^"]*"                    # double-quoted value
+          |(?!['"])[^>\s]*            # bare value
+         )
+        \s*
+       )?(?:\s|/(?!>))*
+     )*
+   )?
+  \s*
+""", re.VERBOSE)
+_ENDTAG = re.compile(r"</\s*([a-zA-Z][-.a-zA-Z0-9:_]*)\s*>")
+_COMMENT_CLOSE = re.compile(r"--\s*>")
+_MARKED_CLOSE = re.compile(r"]\s*]\s*>")       # <![CDATA[ ... ]]>
+_MS_MARKED_CLOSE = re.compile(r"]\s*>")        # <![if ...]>
+_DECLNAME = re.compile(r"[a-zA-Z][-_.a-zA-Z0-9]*\s*")
+_MARKED_STD = frozenset({"temp", "cdata", "ignore", "include", "rcdata"})
+_MARKED_MS = frozenset({"if", "else", "endif"})
+_ASCII_ALPHA = frozenset(
+    "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ")
+# chars after a partial start-tag match that mean "inside an attribute"
+_IN_ATTR_CHARS = _ASCII_ALPHA | {"=", "/"}
 
-    Hand-rolled tokenizer (not html.parser) because the contract needs
-    exact character-span offsets of every text segment in the ORIGINAL
-    string; `HTMLParser` reports (line, col) positions only. Handles
-    tags, self-closing tags, comments and attribute quoting; unknown /
-    malformed markup degrades to text (never throws)."""
+
+def _flatten_one(html: str) -> list[dict]:
+    """Linear scan of one HTML string → block node list with exact
+    character-span offsets into the ORIGINAL string (`HTMLParser`
+    reports (line, col) only, hence hand-rolled).
+
+    State machine per HTML5 tokenization: start tags are quote-aware
+    (a '>' inside a quoted attribute value does not close the tag);
+    <script>/<style> switch to raw-text mode where only the literal
+    close tag ends the element (unclosed raw text at EOF is dropped);
+    comments close on --\\s*>; <!doctype>, <![CDATA[..]]>, <?pi> and
+    bogus comments are skipped; malformed markup degrades to text
+    (never throws). Event-for-event equal to the html.parser-driven
+    golden twin (`golden_oracle._BpFlattener`) — pinned by the
+    hypothesis parity fuzz in tests/test_property_parity.py."""
     n = len(html)
     nodes: list[dict] = []
     stack: list[str] = []          # open tags
@@ -95,61 +149,179 @@ def _flatten_one(html: str) -> list[dict]:
                 ))
         cur = None
 
+    def data(seg: str, start: int) -> None:
+        if not seg:
+            return
+        if cur is None:
+            open_block("#text")
+        cur["parts"].append(seg)
+        spans = cur["spans"]
+        if spans and spans[-1][1] == start:    # coalesce contiguous
+            spans[-1] = (spans[-1][0], start + len(seg))
+        else:
+            spans.append((start, start + len(seg)))
+        if link_depth > 0:
+            cur["link_chars"] += len(seg)
+
+    def start_tag(tag: str) -> None:
+        nonlocal boiler_depth, link_depth
+        if tag in BOILER_TAGS:
+            close_block()
+            boiler_depth += 1
+        elif tag in BLOCK_TAGS:
+            open_block(tag)
+        elif tag == "a":
+            link_depth += 1
+        stack.append(tag)
+
+    def end_tag(tag: str) -> None:
+        nonlocal boiler_depth, link_depth
+        if tag in BLOCK_TAGS:
+            close_block()
+        if tag in BOILER_TAGS and boiler_depth > 0:
+            close_block()
+            boiler_depth -= 1
+        if tag == "a" and link_depth > 0:
+            link_depth -= 1
+        if tag in stack:
+            while stack and stack[-1] != tag:
+                stack.pop()
+            if stack:
+                stack.pop()
+
+    def recover(lt: int) -> int:
+        """Unterminated construct: emit through the next '>' (or up to
+        the next '<', or one char) as text and resume there."""
+        k = html.find(">", lt + 1)
+        if k < 0:
+            k = html.find("<", lt + 1)
+            if k < 0:
+                k = lt + 1
+        else:
+            k += 1
+        data(html[lt:k], lt)
+        return k
+
+    def emit_tail(start: int) -> None:
+        """Final text run. A lone two-char '&x' entity stub at EOF
+        loses its '&' (the twin's parser waits for more input that
+        never comes, then flushes only the tail)."""
+        if start >= n:
+            return
+        if (start <= n - 2 and html[n - 2] == "&"
+                and html[n - 1] in _ASCII_ALPHA):
+            data(html[start:n - 2], start)
+            data(html[n - 1:], n - 1)
+        else:
+            data(html[start:], start)
+
     i = 0
+    rawtext: str | None = None     # open raw-text element, if any
     while i < n:
+        if rawtext is not None:                 # raw-text (CDATA) mode
+            m = _RAWTEXT_CLOSE[rawtext].search(html, i)
+            if m is None:                       # unclosed: drop the rest
+                i = n
+                break
+            data(html[i:m.start()], i)
+            end_tag(rawtext)
+            rawtext = None
+            i = m.end()
+            continue
         lt = html.find("<", i)
         if lt == -1:
-            lt = n
-        if lt > i:                              # text run [i, lt)
-            seg = html[i:lt]
-            if cur is None:
-                open_block("#text")
-            cur["parts"].append(seg)
-            cur["spans"].append((i, lt))
-            if link_depth > 0:
-                cur["link_chars"] += lt - i
-            i = lt
-            continue
-        if html.startswith("<!--", lt):         # comment
-            end = html.find("-->", lt)
-            i = n if end == -1 else end + 3
-            continue
-        gt = html.find(">", lt)
-        if gt == -1:                            # trailing junk
+            emit_tail(i)
             break
-        raw = html[lt + 1:gt].strip()
-        i = gt + 1
-        if not raw:
-            continue
-        closing = raw.startswith("/")
-        selfclosing = raw.endswith("/")
-        tag = raw.strip("/").split()[0].lower() if raw.strip("/") else ""
-        if not tag or not tag[0].isalpha():
-            continue
-        if closing:
-            if tag in BLOCK_TAGS:
-                close_block()
-            if tag in BOILER_TAGS and boiler_depth > 0:
-                close_block()
-                boiler_depth -= 1
-            if tag == "a" and link_depth > 0:
-                link_depth -= 1
-            if tag in stack:
-                while stack and stack[-1] != tag:
-                    stack.pop()
-                if stack:
-                    stack.pop()
-        elif selfclosing:
-            pass
-        else:
-            if tag in BOILER_TAGS:
-                close_block()
-                boiler_depth += 1
-            elif tag in BLOCK_TAGS:
-                open_block(tag)
-            elif tag == "a":
-                link_depth += 1
-            stack.append(tag)
+        if lt > i:                              # text run [i, lt)
+            data(html[i:lt], i)
+            i = lt
+        nxt = html[lt + 1:lt + 2]
+        if nxt in _ASCII_ALPHA:                 # start tag
+            m = _LOCATE_STARTTAG_END.match(html, lt)
+            j = m.end()
+            follow = html[j:j + 1]
+            if follow == ">":
+                endpos = j + 1
+            elif follow == "/":
+                if html.startswith("/>", j):
+                    endpos = j + 2
+                else:                           # buffer ends in '/x'
+                    i = recover(lt)
+                    continue
+            elif follow == "" or follow in _IN_ATTR_CHARS:
+                i = recover(lt)                 # cut inside tag / attr
+                continue
+            else:
+                endpos = j if j > lt else lt + 1
+            tm = _TAGFIND.match(html, lt + 1)
+            tag = tm.group(1).lower()
+            k = tm.end()
+            while k < endpos:
+                am = _ATTRFIND.match(html, k)
+                if not am:
+                    break
+                k = am.end()
+            tail = html[k:endpos].strip()
+            if tail not in (">", "/>"):         # garbage in tag → text
+                data(html[lt:endpos], lt)
+            elif tail == "/>":
+                pass                            # self-closing: no-op
+            else:
+                start_tag(tag)
+                if tag in _RAWTEXT_ELEMS:
+                    rawtext = tag
+            i = endpos
+        elif html.startswith("</", lt):         # end tag
+            gt = html.find(">", lt + 1)
+            if gt == -1:
+                i = recover(lt)
+                continue
+            em = _ENDTAG.match(html, lt)
+            if em:
+                end_tag(em.group(1).lower())
+                i = gt + 1
+                continue
+            nm = _TAGFIND.match(html, lt + 2)
+            if not nm:
+                if html.startswith("</>", lt):
+                    i = lt + 3
+                else:                           # bogus comment
+                    i = gt + 1
+                continue
+            end_tag(nm.group(1).lower())
+            i = html.find(">", nm.end()) + 1
+        elif html.startswith("<!--", lt):       # comment
+            m = _COMMENT_CLOSE.search(html, lt + 4)
+            i = m.end() if m else recover(lt)
+        elif html.startswith("<?", lt):         # processing instruction
+            gt = html.find(">", lt + 2)
+            i = gt + 1 if gt != -1 else recover(lt)
+        elif html.startswith("<![", lt):        # marked section
+            dm = _DECLNAME.match(html, lt + 3)
+            if dm and dm.end() < n:
+                name = dm.group().strip().lower()
+                if name in _MARKED_STD:
+                    m = _MARKED_CLOSE.search(html, lt + 3)
+                elif name in _MARKED_MS:
+                    m = _MS_MARKED_CLOSE.search(html, lt + 3)
+                else:                           # twin raises here; stay
+                    m = None                    # robust: bogus-comment
+                    gt = html.find(">", lt + 2)
+                    i = gt + 1 if gt != -1 else recover(lt)
+                    continue
+                i = m.end() if m else recover(lt)
+            else:
+                i = recover(lt)
+        elif html.startswith("<!", lt):         # declaration
+            if html[lt:lt + 9].lower() == "<!doctype":
+                gt = html.find(">", lt + 9)
+                i = gt + 1 if gt != -1 else recover(lt)
+            else:                               # bogus comment
+                gt = html.find(">", lt + 2)
+                i = gt + 1 if gt != -1 else recover(lt)
+        else:                                   # lone '<' is text
+            data("<", lt)
+            i = lt + 1
     close_block()
     return nodes
 

@@ -1350,8 +1350,10 @@ def multimodal_frame_plan(spark, sf_dir):
 def _wrap_html_col(doc_id_col, text_col):
     """Deterministic synthetic web page per document — MUST stay in
     lock-step with `golden_oracle.wrap_html` (same literals, same
-    `<`/`&` sanitization via translate)."""
-    t = F.translate(text_col, "<&", "(+")
+    `<`/`&` sanitization via translate). coalesce matches wrap_html's
+    `text or ""` — a NULL text must still yield a full page, not a
+    NULL concat."""
+    t = F.translate(F.coalesce(text_col, F.lit("")), "<&", "(+")
     return F.concat(
         F.lit('<html><head><title>doc</title></head><body>'),
         F.lit('<nav><a href="/">Home</a> <a href="/about">About</a>'

@@ -387,6 +387,45 @@ def test_boilerplate_extract_main_content(spark):
     assert out[2].n_kept >= 0  # no throw on malformed input
 
 
+def test_boilerplate_rawtext_script_lt(spark):
+    """A '<' inside <script>/<style> content must NOT swallow the close
+    tag: raw-text elements end only at their literal close tag, so the
+    content after the script stays out of the boilerplate bucket
+    (round-3 verdict repro)."""
+    from pdf_extractor_spark.golden_oracle import _BpFlattener
+    from pdf_extractor_spark.ops.boilerplate import (
+        _flatten_one,
+        extract_main_content,
+    )
+
+    body = ("Real content after the script that is long enough to pass "
+            "the density threshold easily")
+    html = f"<script>if(a<b){{x=1;}}</script><p>{body}</p>"
+    nodes = _flatten_one(html)
+    twin = _BpFlattener(html).nodes
+    assert [(n["tag"], n["in_boiler"], n["text"]) for n in nodes] == \
+        [(n["tag"], n["in_boiler"], n["text"]) for n in twin]
+    p = [n for n in nodes if n["tag"] == "p"]
+    assert len(p) == 1 and not p[0]["in_boiler"]
+
+    # end-to-end: the paragraph survives extract_main_content
+    df = spark.createDataFrame([(1, html)], "doc_id long, html_text string")
+    row = extract_main_content(df).collect()[0]
+    assert row.main_text == body and row.n_kept == 1
+
+    # unclosed script at EOF drops the rest (html.parser CDATA rule)
+    assert _flatten_one("<p>keep</p><script>var x=1; // no close") == \
+        _flatten_one("<p>keep</p>")
+
+    # '>' inside a quoted attribute value does not end the tag
+    html2 = f'<a href="x>y">link text</a><p>{body}</p>'
+    nodes2 = _flatten_one(html2)
+    assert [(n["tag"], n["text"]) for n in nodes2] == \
+        [(n["tag"], n["text"]) for n in _BpFlattener(html2).nodes]
+    assert nodes2[0]["text"] == "link text"
+    assert nodes2[0]["link_chars"] == len("link text")
+
+
 def test_contamination_flags(spark):
     from pdf_extractor_spark.ops.dedup import contamination_flags
 

@@ -111,3 +111,70 @@ def test_minutes_conversion_oracle_involutions(value):
     txt = format(abs(value), "f")
     if "." in txt and len(txt.split(".")[1]) > 2:
         assert conv == value  # passthrough branch
+
+
+# ---------------------------------------------------------------------------
+# HTML boilerplate tokenizer: op's hand-rolled byte scanner vs the
+# html.parser-driven golden twin, node-for-node, on adversarial HTML.
+# ---------------------------------------------------------------------------
+# Grammar notes: plain-text pieces exclude '&'/'<'/'['/'!'/'#' so the
+# adversarial constructs are injected deliberately (below) instead of
+# forming by accident. Two twin artifacts stay out of reach by design:
+# bogus '&#'+non-digit char refs (html.parser's feed/close break
+# bookkeeping makes their effect depend on how many occurred) and
+# marked sections with unknown keywords (<![foo]> raises inside
+# html.parser; the op degrades to a bogus comment).
+
+_BP_TEXT = st.text(alphabet="abcdef ghij XYZ09.,:()-'\n\t", max_size=40)
+_BP_TAGNAME = st.sampled_from([
+    "p", "P", "div", "li", "h2", "pre", "span", "b", "a", "A", "nav",
+    "footer", "aside", "script", "style", "SCRIPT", "Style", "td",
+    "widget", "x-y:z",
+])
+_BP_LITERALS = [
+    "<", ">", "</>", "<3 x", "< 5", "&amp;", "&amp ", "&amp", "&bogus;",
+    "&#65;", "&#x1f;", "&", "<!DOCTYPE html>", "<![CDATA[ <p>hi</p> ]]>",
+    "<![if !IE]>x<![endif]>", "<?php echo 1 ?>", "<!x>", "</ p >",
+    '<a href="x>y">in link</a>', "<p a='q>r'>t</p>", '<div a="1"=>t',
+    "<!-- c <p>no</p> -->", "<!-- unterminated > recovery", "<!---->",
+    "<script>if(a<b){c=1}</script>", "<script>x</scriptx></script>",
+    "<style>a<b{}</style>", "<script>no close",
+    "<script>t</script foo=bar><p>lost</p></script>",
+]
+_bp_start_st = st.builds(
+    lambda n, a, c: f"<{n}{a}{c}", _BP_TAGNAME,
+    st.sampled_from(["", " ", ' href="u>v"', " id='i'", " data-k=v",
+                     " a b=2 "]),
+    st.sampled_from([">", " >", "/>", " />", ""]))
+_bp_end_st = st.builds(
+    lambda n, pad, c: f"</{pad}{n}{c}", _BP_TAGNAME,
+    st.sampled_from(["", " "]),
+    st.sampled_from([">", " >", " junk>", ""]))
+_bp_doc_st = st.lists(
+    st.one_of(_BP_TEXT, st.sampled_from(_BP_LITERALS), _bp_start_st,
+              _bp_end_st),
+    max_size=25).map("".join)
+
+
+def _bp_normalize(nodes):
+    out = []
+    for nd in nodes:
+        spans = [(s["start"], s["end"]) if isinstance(s, dict) else tuple(s)
+                 for s in nd["spans"]]
+        out.append((nd["idx"], nd["tag"], nd["depth"], nd["in_boiler"],
+                    nd["text"], nd["n_chars"], nd["link_chars"], spans))
+    return out
+
+
+@settings(max_examples=600, deadline=None)
+@given(_bp_doc_st)
+def test_boilerplate_tokenizer_twin_parity(html):
+    from pdf_extractor_spark.golden_oracle import _BpFlattener
+    from pdf_extractor_spark.ops.boilerplate import _flatten_one
+
+    op = _bp_normalize(_flatten_one(html))
+    twin = _bp_normalize(_BpFlattener(html).nodes)
+    assert op == twin, html
+    # span fidelity: every node's spans reproduce its text verbatim
+    for nd in op:
+        assert "".join(html[s:e] for s, e in nd[7]) == nd[4]
