@@ -36,7 +36,7 @@ from pyspark.sql import functions as F  # noqa: E402
 from pdf_extractor_spark.ops.curate import (  # noqa: E402
     curate_corpus, curation_stage_counts)
 from pdf_extractor_spark.ops.dedup import (  # noqa: E402
-    minhash_lsh_pairs, simhash_pairs)
+    minhash_lsh_pairs, pick_minhash_shape, simhash_pairs)
 from pdf_extractor_spark.session import get_spark  # noqa: E402
 
 
@@ -65,11 +65,15 @@ def main() -> None:
     spark = get_spark(f"curate-{args.run_id}")
     out = args.out.rstrip("/")
     docs = spark.read.parquet(args.documents).persist()
+    n_in = docs.count()          # warms the persist; also the audit row
 
     if args.near_dup == "minhash":
+        # the scale-safe single-exchange plan becomes the default once
+        # the corpus outgrows the shared-distinct shingle exchange
         pairs = minhash_lsh_pairs(docs, id_col=args.id_col,
                                   text_col=args.text_col,
-                                  threshold=args.threshold)
+                                  threshold=args.threshold,
+                                  scale_shape=pick_minhash_shape(n_in))
     elif args.near_dup == "simhash":
         pairs = simhash_pairs(docs, id_col=args.id_col,
                               text_col=args.text_col,
@@ -97,7 +101,7 @@ def main() -> None:
         args.id_col, "left_semi")
     curated.write.mode("overwrite").parquet(f"{out}/curated")
 
-    n_in, n_kept = docs.count(), curated.count()
+    n_kept = curated.count()
     n_pairs = pairs.count() if pairs is not None else 0
     audit = spark.createDataFrame(
         [(args.run_id, n_in, n_kept, n_pairs, args.near_dup,

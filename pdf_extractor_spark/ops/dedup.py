@@ -103,6 +103,21 @@ def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
     return sh.groupBy("doc_id").agg(*aggs)
 
 
+# Above this corpus size the shared-distinct subtree's corpus-wide
+# (doc_id, shingle) string exchange stops being a good trade (it is
+# faster while the exchange fits — sf0.1: 6.5 s vs 8.9 s — because the
+# verify stage reuses it verbatim via ReusedExchange); past it the
+# single-exchange scale shape is the only plan that survives. Callers
+# that know their corpus size (jobs_curate.py) route through this.
+SCALE_SHAPE_MIN_DOCS = 5_000_000
+
+
+def pick_minhash_shape(n_docs: int) -> bool:
+    """scale_shape selector for `minhash_lsh_pairs`: True once the
+    corpus is too large to exchange its exploded shingle strings."""
+    return n_docs > SCALE_SHAPE_MIN_DOCS
+
+
 def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
                       text_col: str = "text", k: int = 5, n_perm: int = 64,
                       bands: int = 16, threshold: float = 0.8,
@@ -126,6 +141,10 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
       verify first semi-joins the corpus down to candidate docs and
       explodes only those. Correct whenever candidates ≪ corpus —
       exactly the regime a corpus-wide distinct cannot survive.
+
+    Callers that know the corpus size should pass
+    `scale_shape=pick_minhash_shape(n_docs)` (jobs_curate.py does) so
+    the scale-safe plan is the default above SCALE_SHAPE_MIN_DOCS.
     """
     rows = n_perm // bands
     sig = minhash_signatures(docs, id_col, text_col, k, n_perm, seed,

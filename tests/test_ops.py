@@ -59,6 +59,20 @@ def test_minhash_scale_shape_identical_results(docs):
     assert base == scaled
 
 
+def test_minhash_shape_picker():
+    """jobs_curate selects the plan shape from corpus size: the shared
+    shingle-distinct exchange is a win only while it fits; past the
+    bound the single-exchange scale shape must be the default."""
+    assert dedup.pick_minhash_shape(500) is False
+    assert dedup.pick_minhash_shape(dedup.SCALE_SHAPE_MIN_DOCS) is False
+    assert dedup.pick_minhash_shape(dedup.SCALE_SHAPE_MIN_DOCS + 1) is True
+    assert dedup.pick_minhash_shape(10**12) is True
+    # and jobs_curate.py actually routes through the picker
+    import pathlib
+    src = pathlib.Path("jobs_curate.py").read_text()
+    assert "pick_minhash_shape(n_in)" in src
+
+
 def test_simhash_finds_planted_near_dups(docs):
     pairs = dedup.simhash_pairs(docs, max_hamming=3).collect()
     found = {(p.a, p.b) for p in pairs}
