@@ -11,12 +11,13 @@ last-page-wins per period (the reference's dict overwrite,
 Scale shape: two explodes (pages, lines) multiply rows ~1000× before
 the rules join — both stay in whole-stage codegen; the rules side is a
 13-row broadcast so the join is a codegen'd nested-loop against a
-local array, no shuffle. The keyed shuffles are one (url, page)-hash
-exchange of the slim tokenized table plus the branch hash-aggregates —
-map-side combined, so each post-cache exchange carries one
-pre-aggregated row per group, and nothing ever sorts the full line
-table. Column pruning pushes (url, text) reads down to the parquet
-scan.
+local array, no shuffle. The only keyed shuffles are one (url, page)-
+hash exchange of the slim tokenized table (which also clusters every
+downstream pkey group, so the page-level aggregation adds NO exchange)
+and the last-page-wins window. All per-page rule dicts reduce in a
+single conditional-aggregate pass over the static 13-rule dimension;
+nothing ever sorts or re-scans the full line table. Column pruning
+pushes (url, text) reads down to the parquet scan.
 """
 
 from __future__ import annotations
@@ -26,7 +27,23 @@ from pyspark.sql import functions as F
 
 from ..functions.brnum import to_float_robust_struct
 from ..functions.refdate import reference_date_cols
-from .rules import SUM4, SUMABLE, rules_df
+from .rules import E1_RULES, SUM4, SUMABLE, rules_df
+
+# Static views of the 13-rule dimension (it is a compile-time constant,
+# so the page-level "dict" aggregation can be expressed as one
+# conditional-aggregate pass + static array reconstruction instead of
+# four separate scans over a cached line table):
+#   _FN_NORMAL   — FOLHA-NORMAL rules outside the sumable set
+#                  (descriptions are pairwise distinct here, so the A4
+#                  duplicate-description groups coincide with codes)
+#   _SUM_GROUPS  — the A3 sum-when-together groups: (excel_col,
+#                  description, [codes]) — codes already sorted
+_FN_NORMAL = [(r[1], r[2], r[3]) for r in E1_RULES
+              if r[6] == "FOLHA NORMAL" and r[1] not in SUM4]
+_RULE_DESC = {r[1]: r[2] for r in E1_RULES}
+_SUM_GROUPS = [(col, _RULE_DESC[codes[0]], sorted(codes))
+               for col, codes in sorted(SUMABLE.items())]
+_B13_CODES = ("09090301", "09090101")
 
 TIPO_RE = r"(?iU)Tipo\s+da\s+folha\s*:"
 FN_RE = r"(?iU)FOLHA\s+NORMAL"
@@ -202,144 +219,135 @@ def extract_folha(pages_df: DataFrame) -> tuple[DataFrame, DataFrame]:
         matched_lines(classified).repartition(n_part, "url", "page_idx")
     ).withColumn("use", _value_to_use())
 
-    qual_normal = (
-        (F.col("folha_type") == "FOLHA NORMAL")
-        & ~F.col("code").isin(SUM4)
-        & F.col("use").isNotNull()
-    )
-    qual_sum = (
-        (F.col("folha_type") == "FOLHA NORMAL")
-        & F.col("code").isin(SUM4)
-        & F.col("use").isNotNull()
-    )
+    is_fn = F.col("folha_type") == "FOLHA NORMAL"
     is13 = F.col("folha_type") == "13 SALARIO"
+    usable = F.col("use").isNotNull()
     # A5 reads `valor` (captured even when null — the reference
-    # overwrites per matched line) but only on 13º-page 301/101 lines;
-    # carry that slice as a narrow column so the fat parse struct can be
-    # dropped before the persist.
+    # overwrites per matched line) but only on 13º-page 301/101 lines.
     ml = ml.withColumn(
         "valor13",
-        F.when(is13 & F.col("code").isin("09090301", "09090101"),
-               F.col("valor")))
-    # Persist the parsed table: every downstream branch is a
-    # filter + hash-aggregate over it — without the persist each branch
-    # re-runs the explode+join pipeline, and filter pushdown through
-    # the exchange re-inlines the big parse expressions into the
-    # explode stage (64KB codegen blowup → interpreted fallback).
-    # MEMORY_AND_DISK for spill. Column-prune FIRST: the cached table
-    # is re-deserialized by every branch, so the fat parse structs
-    # (indice/valor) and rule columns no branch reads must not be
-    # persisted. The per-group "last line wins" reductions happen in
-    # the branches as map-side-combined hash aggregates (max_by over
-    # line_pos): their post-cache exchanges carry one pre-aggregated
-    # row per group, and — unlike the window formulation these replaced
-    # — no sort of the full line table is ever needed (measured: the 3
-    # window sorts were ~1/3 of the post-exchange stage CPU).
-    from pyspark import StorageLevel
-
-    ml = ml.drop("indice", "valor", "source", "fallback")
-    ml = ml.persist(StorageLevel.MEMORY_AND_DISK)
+        F.when(is13 & F.col("code").isin(*_B13_CODES), F.col("valor")))
 
     pkey = ["url", "page_idx", "folha_type", "year", "month"]
 
-    # --- normal path (FOLHA NORMAL, codes outside the SUM4 set) --------
-    # last qualifying line per excel column (A-path dict overwrite)
-    normal = ml.filter(qual_normal)
-    normal_vals = (
-        normal.groupBy(*pkey, "excel_col")
-        .agg(F.max_by("use", "line_pos").alias("value"))
-    )
-
-    # --- A4 description duplicates (attention only, no sum) ------------
-    x_lit = F.array(*[F.lit(c) for c in SUMABLE["X"]])
-    y_lit = F.array(*[F.lit(c) for c in SUMABLE["Y"]])
-    desc_att = (
-        normal.groupBy(*pkey, "description")
-        .agg(F.count("*").alias("n"),
-             F.sort_array(F.collect_list("code")).alias("codes"),
-             F.collect_set("excel_col").alias("cols"))
-        .filter(
-            (F.col("n") > 1)
-            & ~(F.size(F.array_except("codes", x_lit)) == 0)
-            & ~(F.size(F.array_except("codes", y_lit)) == 0)
-        )
-        .select(*pkey, F.lit("duplicidade_descricao").alias("kind"),
-                "description", "codes",
-                F.try_element_at("cols", F.lit(1)).alias("excel_col"))
-    )
-
-    # --- A3 sumable pairs (SUM4 codes) ----------------------------------
-    # level 1: per-code dict overwrite — the LAST matched line of each
-    # SUM4 code carries its use/excel_col/description
-    sum_last = (
-        ml.filter(qual_sum)
-        .groupBy(*pkey, "code")
-        .agg(F.max_by(F.struct("use", "excel_col", "description"),
-                      "line_pos").alias("last"),
-             F.max("line_pos").alias("line_pos"))
-        .select(*pkey, "code", "line_pos",
-                F.col("last")["use"].alias("use"),
-                F.col("last")["excel_col"].alias("excel_col"),
-                F.col("last")["description"].alias("description"))
-    )
-    sum_g = sum_last.groupBy(*pkey, "excel_col", "description").agg(
-        F.count("*").alias("n_codes"),
-        F.sum(F.col("use")["num"]).alias("sum_num"),
-        F.max_by("use", "line_pos").alias("one_use"),
-        F.sort_array(F.collect_list("code")).alias("codes"),
-    )
-    sum_vals = sum_g.select(
-        *pkey, "excel_col",
-        F.when(
-            F.col("n_codes") > 1,
-            F.struct(
-                F.col("sum_num").alias("num"),
-                F.lit(None).cast("string").alias("txt"),
-                F.lit(False).alias("is_time"),
-            ),
-        ).otherwise(F.col("one_use")).alias("value"),
-    )
-    sum_att = sum_g.filter(F.col("n_codes") > 1).select(
-        *pkey, F.lit("soma_automatica").alias("kind"), "description",
-        "codes", "excel_col",
-    )
-
-    # --- A5 13º-salário coalesce (09090301 preferred, else 09090101) ---
-    # last 301/101 line per 13º page (max over (line_pos, valor) structs
-    # = the reference's per-matched-line overwrite)
-    b13 = (
-        ml.filter(is13 & F.col("code").isin("09090301", "09090101"))
-        .groupBy(*pkey)
-        .agg(
-            F.max(F.when(F.col("code") == "09090301",
+    # --- ONE page-level conditional-aggregation pass ---------------------
+    # The rule dimension is static, so every per-page "dict" the
+    # reference builds (A2 normal overwrite, A3 sumable pairs, A4
+    # duplicate descriptions, A5 13º coalesce) is a fixed set of
+    # conditional aggregates over the matched lines: per rule, the last
+    # qualifying line (max over struct(line_pos, …) — line_pos is unique
+    # within a page, so lexicographic max ≡ max_by) plus a qualifying-
+    # line count. This replaces the previous four filter+aggregate
+    # branches over a persisted line table — one scan instead of four
+    # re-deserializations of wide cached string rows (the measured 2.4×
+    # branch-stage CPU inflation at 8 threads), and the groupBy
+    # introduces NO exchange: hashpartitioning(url, page_idx) from the
+    # repartition above already clusters every pkey group.
+    aggs = []
+    for code, _desc, _excel in _FN_NORMAL:
+        hit = is_fn & usable & (F.col("code") == code)
+        aggs.append(F.max(F.when(hit, F.struct("line_pos", "use")))
+                    .alias(f"qn_{code}"))
+        aggs.append(F.count(F.when(hit, True)).alias(f"qn_n_{code}"))
+    for _col, _desc, codes in _SUM_GROUPS:
+        for code in codes:
+            aggs.append(
+                F.max(F.when(is_fn & usable & (F.col("code") == code),
+                             F.struct("line_pos", "use")))
+                .alias(f"qs_{code}"))
+    for code in _B13_CODES:
+        aggs.append(
+            F.max(F.when(is13 & (F.col("code") == code),
                          F.struct("line_pos",
                                   F.col("valor13").alias("valor"))))
-            .alias("s301"),
-            F.max(F.when(F.col("code") == "09090101",
-                         F.struct("line_pos",
-                                  F.col("valor13").alias("valor"))))
-            .alias("s101"),
-        )
-        .select(*pkey,
-                F.col("s301")["valor"].alias("v301"),
-                F.col("s101")["valor"].alias("v101"))
-        .withColumn(
-            "value",
-            F.when(_nonzero(F.col("v301")), F.col("v301")).when(
-                _nonzero(F.col("v101")), F.col("v101")
-            ),
-        )
-        .filter(F.col("value").isNotNull())
-        .select(*pkey, F.lit("B").alias("excel_col"), "value")
-    )
+            .alias(f"b13_{code}"))
+    # Persist AFTER the reduction: the page table is one narrow row per
+    # matched page (vs. the line table this replaces), and it feeds the
+    # values explode, the win_pages distinct and the attention explode.
+    from pyspark import StorageLevel
+
+    page = ml.groupBy(*pkey).agg(*aggs).persist(StorageLevel.MEMORY_AND_DISK)
+
+    # --- static reconstruction of the three value branches ---------------
+    def _group_last(cols: list) -> F.Column:
+        return cols[0] if len(cols) == 1 else F.greatest(*cols)
+
+    excel_groups: dict[str, list] = {}
+    for code, _desc, excel in _FN_NORMAL:
+        excel_groups.setdefault(excel, []).append(code)
+
+    val_structs = []
+    # normal path (A2): last qualifying line per excel column
+    for excel, codes in excel_groups.items():
+        last = _group_last([F.col(f"qn_{c}") for c in codes])
+        val_structs.append(F.struct(
+            F.lit(excel).alias("excel_col"),
+            last["use"].alias("value"),
+            F.lit("normal").alias("__src")))
+    # sumable pairs (A3): sum when >1 code present, else the single last
+    sum_att_structs = []
+    for excel, desc, codes in _SUM_GROUPS:
+        arr = F.filter(
+            F.array(*[F.struct(F.lit(c).alias("code"),
+                               F.col(f"qs_{c}").alias("last"))
+                      for c in codes]),
+            lambda x: x["last"].isNotNull())
+        n_codes = F.size(arr)
+        nums = F.filter(F.transform(arr, lambda x: x["last"]["use"]["num"]),
+                        lambda v: v.isNotNull())
+        # null-seeded fold == F.sum semantics (all-null → null)
+        sum_num = F.aggregate(
+            nums, F.lit(None).cast("double"),
+            lambda acc, v: F.when(acc.isNull(), v).otherwise(acc + v))
+        one_use = F.array_max(F.transform(arr, lambda x: x["last"]))["use"]
+        value = F.when(
+            n_codes > 1,
+            F.struct(sum_num.alias("num"),
+                     F.lit(None).cast("string").alias("txt"),
+                     F.lit(False).alias("is_time"))).otherwise(one_use)
+        val_structs.append(F.when(n_codes > 0, F.struct(
+            F.lit(excel).alias("excel_col"),
+            value.alias("value"),
+            F.lit("sum").alias("__src"))))
+        sum_att_structs.append(F.when(n_codes > 1, F.struct(
+            F.lit("soma_automatica").alias("kind"),
+            F.lit(desc).alias("description"),
+            F.transform(arr, lambda x: x["code"]).alias("codes"),
+            F.lit(excel).alias("excel_col"))))
+    # 13º coalesce (A5): 09090301 preferred, else 09090101
+    v301 = F.col(f"b13_{_B13_CODES[0]}")["valor"]
+    v101 = F.col(f"b13_{_B13_CODES[1]}")["valor"]
+    val_structs.append(F.struct(
+        F.lit("B").alias("excel_col"),
+        F.when(_nonzero(v301), v301).when(_nonzero(v101), v101)
+        .alias("value"),
+        F.lit("b13").alias("__src")))
+
+    # --- A4 description duplicates (attention only, no sum) --------------
+    # _FN_NORMAL descriptions are pairwise distinct, so each duplicate-
+    # description group is a single code repeated; such codes are never
+    # subsets of a sumable set, so the reference's X/Y exclusion always
+    # passes here.
+    att_structs = [
+        F.when(F.col(f"qn_n_{code}") > 1, F.struct(
+            F.lit("duplicidade_descricao").alias("kind"),
+            F.lit(desc).alias("description"),
+            F.array_repeat(F.lit(code), F.col(f"qn_n_{code}").cast("int"))
+            .alias("codes"),
+            F.lit(excel).alias("excel_col")))
+        for code, desc, excel in _FN_NORMAL
+    ] + sum_att_structs
+
+    vals_arr = F.filter(F.array(*val_structs),
+                        lambda s: s["value"].isNotNull())
+    att_arr = F.filter(F.array(*att_structs), lambda s: s.isNotNull())
 
     # --- last-page-wins per (url, folha_type, period): the reference's
     #     full-dict replace (extracted_data[ft][period] = page_data) -----
     w_period = Window.partitionBy("url", "folha_type", "year", "month")
     union = (
-        normal_vals.withColumn("__src", F.lit("normal"))
-        .unionByName(sum_vals.withColumn("__src", F.lit("sum")))
-        .unionByName(b13.withColumn("__src", F.lit("b13")))
+        page.select(*pkey, F.explode(vals_arr).alias("s"))
+        .select(*pkey, "s.excel_col", "s.value", "s.__src")
         .withColumn("max_page", F.max("page_idx").over(w_period))
         .filter(F.col("page_idx") == F.col("max_page"))
     )
@@ -364,7 +372,8 @@ def extract_folha(pages_df: DataFrame) -> tuple[DataFrame, DataFrame]:
         "url", "folha_type", "year", "month", "page_idx"
     ).distinct()
     attention = (
-        desc_att.unionByName(sum_att)
+        page.select(*pkey, F.explode(att_arr).alias("s"))
+        .select(*pkey, "s.kind", "s.description", "s.codes", "s.excel_col")
         .join(win_pages, ["url", "folha_type", "year", "month", "page_idx"],
               "left_semi")
         .select("url", "folha_type", "year", "month", "kind", "description",
