@@ -21,6 +21,11 @@ Outputs under --out:
 
 Optional Gopher-style repetition ceilings (--max-dup-word-frac /
 --max-top-word-frac / --max-dup-bigram-frac) join the quality gate.
+
+Web tier: pass --html-col <col> to treat that column as raw HTML —
+the job then composes boilerplate strip (ops.boilerplate) with the
+stages above, curating the EXTRACTED main text; curated/ additionally
+carries a main_text column.
 """
 
 from __future__ import annotations
@@ -34,7 +39,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 from pyspark.sql import functions as F  # noqa: E402
 
 from pdf_extractor_spark.ops.curate import (  # noqa: E402
-    curate_corpus, curation_stage_counts)
+    curate_corpus, curation_stage_counts, extract_main_text)
 from pdf_extractor_spark.ops.dedup import (  # noqa: E402
     minhash_lsh_pairs, pick_minhash_shape, simhash_pairs)
 from pdf_extractor_spark.session import get_spark  # noqa: E402
@@ -60,11 +65,26 @@ def main() -> None:
     ap.add_argument("--max-top-word-frac", type=float, default=None)
     ap.add_argument("--max-dup-bigram-frac", type=float, default=None)
     ap.add_argument("--langs", default="pt,en")
+    ap.add_argument("--html-col", default=None,
+                    help="treat this column as raw HTML: boilerplate-"
+                         "strip it first (web tier) and curate the "
+                         "extracted main text")
     args = ap.parse_args()
 
     spark = get_spark(f"curate-{args.run_id}")
     out = args.out.rstrip("/")
-    docs = spark.read.parquet(args.documents).persist()
+    raw = spark.read.parquet(args.documents).persist()
+    orig_id = args.id_col
+    if args.html_col:
+        # composed web tier: scan → mapInPandas boilerplate strip →
+        # everything below (gates, dedup, pairs) runs on main text.
+        # Persisted because pairs + curate + stage counts all read it —
+        # the flatten kernel must run once, not per consumer.
+        docs = extract_main_text(raw, html_col=args.html_col,
+                                 id_col=args.id_col).persist()
+        args.id_col, args.text_col = "doc_id", "text"
+    else:
+        docs = raw
     n_in = docs.count()          # warms the persist; also the audit row
 
     if args.near_dup == "minhash":
@@ -96,9 +116,17 @@ def main() -> None:
         max_top_word_frac=args.max_top_word_frac,
         max_dup_bigram_frac=args.max_dup_bigram_frac)
     kept = curate_corpus(docs, near_dup_pairs=pairs, **gate_kwargs)
-    curated = docs.join(
-        kept.select(F.col("doc_id").alias(args.id_col)),
-        args.id_col, "left_semi")
+    if args.html_col:
+        # curated output = original columns + the extracted main_text
+        curated = raw.join(
+            docs.join(kept.select("doc_id"), "doc_id", "left_semi")
+            .select(F.col("doc_id").alias(orig_id),
+                    F.col("text").alias("main_text")),
+            orig_id)
+    else:
+        curated = docs.join(
+            kept.select(F.col("doc_id").alias(args.id_col)),
+            args.id_col, "left_semi")
     curated.write.mode("overwrite").parquet(f"{out}/curated")
 
     n_kept = curated.count()

@@ -242,6 +242,18 @@ def curate_neardup_pairs_golden(doc_rows: list[tuple[int, str]],
     return _minhash_pairs(_curate_plant(doc_rows), **kw)
 
 
+def web_neardup_pairs_golden(doc_rows: list[tuple[int, str]],
+                             **kw) -> list[dict]:
+    """MinHash-LSH pairs over the boilerplate-stripped web corpus (the
+    composed web tier: wrap_html → twin extraction → near-dup) — the
+    non-SQL-expressible input of the curate_corpus 'web' branch oracle;
+    the main texts themselves come from the extract_main_content golden
+    parquet."""
+    texts = [(r["doc_id"], r["main_text"])
+             for r in extract_main_content_golden(doc_rows)]
+    return _minhash_pairs(texts, **kw)
+
+
 def dedup_ngram_golden(doc_rows: list[tuple[int, str]], k: int = 3,
                        threshold: float = 0.5,
                        max_df: int = 100) -> list[dict]:

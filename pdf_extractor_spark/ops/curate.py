@@ -95,6 +95,22 @@ def _quality_pred(min_tokens: int, max_digit_ratio: float,
     return pred
 
 
+def extract_main_text(pages: DataFrame, html_col: str = "html_text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Web-tier front door: boilerplate-strip each HTML page
+    (``ops.boilerplate.extract_main_content``) and return the
+    (doc_id, text) shape every curation / dedup / textstats op
+    consumes — so `extract → gate → dedup` composes as ONE lazy plan:
+    scan → mapInPandas flatten (shuffle-free) → codegen'd gates, with
+    the dedup exchanges operating on extracted main text only."""
+    from .boilerplate import extract_main_content
+
+    return extract_main_content(pages, html_col=html_col,
+                                id_col=id_col).select(
+        F.col(id_col).alias("doc_id"),
+        F.col("main_text").alias("text"))
+
+
 def curate_corpus(docs: DataFrame, near_dup_pairs: DataFrame | None = None,
                   id_col: str = "doc_id", text_col: str = "text",
                   min_tokens: int = 5, max_digit_ratio: float = 0.2,

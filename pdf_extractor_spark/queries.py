@@ -1073,12 +1073,25 @@ WITH planted AS (
 )"""
 
 
-def _curate_sql() -> str:
-    # hybrid oracle: the quality/lang/exact-dedup stages are pure SQL
-    # over the same planted corpus; only the MinHash near-dup pair set
-    # (non-SQL-expressible) is fed from the pure-Python golden parquet.
-    return _curate_ctes() + f""",
-gated AS (
+def _curate_stages_sql(source_sql: str, pairs_parquet: str) -> str:
+    # the quality → language → exact-dedup → near-dup stage chain over
+    # an arbitrary (doc_id, text) source; MinHash pair sets
+    # (non-SQL-expressible) are fed from pure-Python golden parquet
+    return f"""
+WITH src AS ({source_sql}), feat AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+         END AS n_tokens,
+         length(regexp_replace(text, '[^0-9]', '', 'g'))
+           / GREATEST(length(text), 1) AS digit_ratio,
+         length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
+           / GREATEST(length(text), 1) AS punct_ratio,
+         len(regexp_extract_all(text, '(?i)\\b({_PT})\\b')) AS pt,
+         len(regexp_extract_all(text, '(?i)\\b({_EN})\\b')) AS en,
+         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS h
+  FROM src
+), gated AS (
   SELECT *, CASE WHEN pt = 0 AND en = 0 THEN 'und'
                  WHEN pt >= en THEN 'pt' ELSE 'en' END AS lang_pred
   FROM feat
@@ -1091,8 +1104,30 @@ exact_kept AS (
 )
 SELECT doc_id, lang_pred, n_tokens FROM exact_kept
 WHERE doc_id NOT IN (
-  SELECT b FROM read_parquet('{GOLDEN_DIR}/curate_neardup_pairs.parquet'))
+  SELECT b FROM read_parquet('{GOLDEN_DIR}/{pairs_parquet}'))
 """
+
+
+def _curate_sql() -> str:
+    # merged pair (registry capped at 50): branch 'direct' = the
+    # planted-corpus curation; branch 'web' = the composed web tier —
+    # HTML wrap → boilerplate strip → the same curation stages over
+    # extracted main text (main texts from the extract_main_content
+    # golden parquet, its own row already pins them against Spark).
+    planted_sql = """
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 3
+  UNION ALL SELECT doc_id + 2000000, text || ' perturbedcopy'
+            FROM documents WHERE doc_id < 3
+  UNION ALL SELECT 3000000 AS doc_id, '1 2 3' AS text
+  UNION ALL SELECT 3000001, '1 2 3 4 5 6'
+"""
+    web_sql = (f"SELECT doc_id, main_text AS text FROM read_parquet("
+               f"'{GOLDEN_DIR}/extract_main_content.parquet')")
+    direct = _curate_stages_sql(planted_sql, "curate_neardup_pairs.parquet")
+    web = _curate_stages_sql(web_sql, "web_neardup_pairs.parquet")
+    return (f"SELECT 'direct' AS src, * FROM ({direct})\n"
+            f"UNION ALL SELECT 'web' AS src, * FROM ({web})")
 
 
 def _curate_stage_sql() -> str:
@@ -1146,15 +1181,33 @@ def _planted_curation_corpus(spark, sf_dir):
 
 @q("curate_corpus", _curate_sql())
 def curate_corpus_pipeline(spark, sf_dir):
-    """Flagship training-data curation composition: quality gate →
-    language filter → exact dedup → MinHash near-dup removal, over the
-    planted curation corpus (see `_planted_curation_corpus`)."""
-    from .ops.curate import curate_corpus
+    """Flagship training-data curation composition, two branches in one
+    driver row (pair-merge pattern, registry capped at 50):
+
+    * src='direct' — quality gate → language filter → exact dedup →
+      MinHash near-dup removal over the planted curation corpus.
+    * src='web' — the composed web tier: HTML page → boilerplate strip
+      (`ops.boilerplate`) → the SAME curation stages over extracted
+      main text, near-dup pairs computed on main text. One lazy plan:
+      scan → mapInPandas flatten → codegen gates → dedup exchanges.
+    """
+    from .ops.curate import curate_corpus, extract_main_text
     from .ops.dedup import minhash_lsh_pairs
 
     planted = _planted_curation_corpus(spark, sf_dir)
     pairs = minhash_lsh_pairs(planted, threshold=0.8)
-    return curate_corpus(planted, near_dup_pairs=pairs)
+    direct = curate_corpus(planted, near_dup_pairs=pairs)
+
+    pages = T(spark, sf_dir, "documents").select(
+        "doc_id", _wrap_html_col(F.col("doc_id"), F.col("text"))
+        .alias("html_text"))
+    web_text = extract_main_text(pages)
+    web_pairs = minhash_lsh_pairs(web_text, threshold=0.8)
+    web = curate_corpus(web_text, near_dup_pairs=web_pairs)
+
+    return (direct.withColumn("src", F.lit("direct"))
+            .unionByName(web.withColumn("src", F.lit("web")))
+            .select("src", "doc_id", "lang_pred", "n_tokens"))
 
 
 @q("curate_stage_counts", _curate_stage_sql())

@@ -39,6 +39,8 @@ SCHEMAS = {
         ("a", pa.int64()), ("b", pa.int64()), ("jaccard", pa.float64())]),
     "curate_neardup_pairs": pa.schema([
         ("a", pa.int64()), ("b", pa.int64()), ("jaccard", pa.float64())]),
+    "web_neardup_pairs": pa.schema([
+        ("a", pa.int64()), ("b", pa.int64()), ("jaccard", pa.float64())]),
     "sim_embedding_neardup": pa.schema([
         ("a", pa.int64()), ("b", pa.int64()), ("cos", pa.float64())]),
     "sim_ivf_topk": pa.schema([
@@ -82,6 +84,7 @@ def build_goldens(sf_dir: str, n_corpus_docs: int) -> dict[str, list[dict]]:
         "sim_lsh_topk": G.sim_lsh_topk_golden(embs),
         "dedup_ngram_jaccard": G.dedup_ngram_golden(docs, threshold=0.5),
         "curate_neardup_pairs": G.curate_neardup_pairs_golden(docs),
+        "web_neardup_pairs": G.web_neardup_pairs_golden(docs),
         "sim_embedding_neardup": G.sim_embedding_neardup_golden(embs),
         "sim_ivf_topk": G.sim_ivf_topk_golden(embs),
         "extract_main_content": G.extract_main_content_golden(docs),
