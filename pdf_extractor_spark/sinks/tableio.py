@@ -101,12 +101,25 @@ class ParquetSnapshotTableIO(TableIO):
     def _snap_dir(self, name: str, version: int) -> str:
         return f"{self.root}/{name}/snap-{version:08d}"
 
-    # -- TableIO ---------------------------------------------------------
-    def read(self, spark: SparkSession, name: str) -> DataFrame | None:
+    def _current_version(self, spark: SparkSession, name: str) -> int | None:
+        # The hint write is delete-then-rename (rename does not
+        # overwrite on every Hadoop FS), so a concurrent reader can
+        # land in the no-hint gap. Snapshot dirs themselves are
+        # immutable once the pointer has ever referenced them, so
+        # max(snapshots()) is the correct recovery — never the plain
+        # parquet path, which would sweep snap-* dirs + .tmp files.
         v = self._read_hint(spark, name)
         if v is not None:
+            return v
+        snaps = self.snapshots(spark, name)
+        return snaps[-1] if snaps else None
+
+    # -- TableIO ---------------------------------------------------------
+    def read(self, spark: SparkSession, name: str) -> DataFrame | None:
+        v = self._current_version(spark, name)
+        if v is not None:
             return spark.read.parquet(self._snap_dir(name, v))
-        # plain append-style table (no snapshots)
+        # plain append-style table (never snapshotted)
         fs, jvm = self._fs(spark, self.root)
         p = jvm.org.apache.hadoop.fs.Path(f"{self.root}/{name}")
         if not fs.exists(p):
@@ -123,7 +136,7 @@ class ParquetSnapshotTableIO(TableIO):
         the NEXT snapshot directory, flip the pointer. The old snapshot
         stays readable (writers never mutate data in place — the same
         isolation story as Iceberg, at directory granularity)."""
-        v = self._read_hint(spark, name)
+        v = self._current_version(spark, name)
         target = (spark.read.parquet(self._snap_dir(name, v))
                   if v is not None else updates.limit(0))
         merged = merge_if_empty(target, updates, keys, value_col)

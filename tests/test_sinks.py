@@ -148,3 +148,37 @@ def test_resume_manifest_roundtrip(spark, tmp_path):
 
     resume.update_manifest(second.select("url"), mpath, run_id="r2")
     assert resume.filter_resumable(pages, mpath).count() == 0
+
+
+def test_tableio_recovers_from_missing_hint(spark, tmp_path):
+    """A reader that lands in the delete-then-rename gap (or a lost
+    version-hint.text) must recover via max(snapshots()), never the
+    plain-parquet path over the table root — that path would sweep
+    snap-* dirs and the .tmp hint."""
+    import os
+
+    from pdf_extractor_spark.sinks.tableio import ParquetSnapshotTableIO
+
+    root = tmp_path / "tio_gap"
+    io = ParquetSnapshotTableIO(str(root))
+    u1 = spark.createDataFrame(
+        [("p1", "A", None), ("p2", "A", 2.0)],
+        "period string, col string, value double")
+    u2 = spark.createDataFrame(
+        [("p1", "A", 7.0)], "period string, col string, value double")
+    io.merge_fill_if_empty(spark, "t", u1, ["period", "col"])
+    io.merge_fill_if_empty(spark, "t", u2, ["period", "col"])
+
+    os.remove(root / "t" / "version-hint.text")  # simulate the gap
+
+    got = {(r.period, r.col): r.value for r in io.read(spark, "t").collect()}
+    assert got == {("p1", "A"): 7.0, ("p2", "A"): 2.0}  # latest snapshot
+
+    # a merge during the gap continues version numbering from the
+    # latest snapshot instead of rebuilding from an empty target
+    u3 = spark.createDataFrame(
+        [("p3", "B", 1.0)], "period string, col string, value double")
+    io.merge_fill_if_empty(spark, "t", u3, ["period", "col"])
+    assert io.snapshots(spark, "t") == [1, 2, 3]
+    got2 = {(r.period, r.col): r.value for r in io.read(spark, "t").collect()}
+    assert got2 == {("p1", "A"): 7.0, ("p2", "A"): 2.0, ("p3", "B"): 1.0}
