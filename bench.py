@@ -91,7 +91,8 @@ def run_bench(spark, sf_dir: str) -> dict:
     for qname in ("q1_pricing_summary", "w3_last_write_wins", "j7_asof_join",
                   "dedup_exact_hash", "text_lang_id", "sim_cosine_topk",
                   "text_repetition", "pack_sequences", "sample_mixture",
-                  "decontaminate_13gram", "extract_main_content"):
+                  "decontaminate_13gram", "extract_main_content",
+                  "pdf_parse_pages"):
         counters[qname] = timed(qname,
                                 lambda qn=qname: Q.QUERIES[qn](spark, sf_dir).count())
 

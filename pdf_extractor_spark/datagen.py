@@ -519,6 +519,178 @@ def documents_df(spark, n_docs: int, seed: int = 42,
     return rng_df.mapInPandas(gen, schema=DOCUMENTS_SCHEMA)
 
 
+# ---------------------------------------------------------------------------
+# Minimal-but-real PDF synthesis — the byte-stream tier's input
+# ---------------------------------------------------------------------------
+# The north star's extraction pipeline parses PDF object streams (xref
+# tables, content-stream operators, encoding decode to Unicode;
+# reference analog: pdf_processor_core.py:318-345 delegates this to
+# pdfplumber — here both sides are built from scratch). The generator
+# below emits real PDF files whose text is a pure function of
+# (doc_id, text): words wrap into lines of PDF_WORDS_PER_LINE, lines
+# paginate by PDF_LINES_PER_PAGE — a rule simple enough for a SQL
+# oracle to reproduce from the raw text, which makes the
+# generate→parse round trip an independently checkable identity.
+
+PDF_WORDS_PER_LINE = 12
+PDF_LINES_PER_PAGE = 4
+PDF_X0, PDF_Y0, PDF_LEADING = 72.0, 720.0, 14.0
+
+
+def _fnum(v: float) -> bytes:
+    return (b"%d" % int(v)) if float(v).is_integer() else (b"%g" % v)
+
+
+def _pdf_escape(s: bytes) -> bytes:
+    return (s.replace(b"\\", b"\\\\")
+             .replace(b"(", b"\\(").replace(b")", b"\\)"))
+
+
+def _pdf_show(line: str, hex_form: bool) -> bytes:
+    raw = line.encode("cp1252")
+    if hex_form:
+        return b"<" + raw.hex().encode("ascii") + b"> Tj"
+    return b"(" + _pdf_escape(raw) + b") Tj"
+
+
+def gen_pdf_bytes(doc_id: int, text: str) -> bytes:
+    """One deterministic minimal-but-real PDF per document.
+
+    A per-doc hash switches the low-level representation — FlateDecode
+    compression, TJ kerning arrays vs plain Tj, hex vs literal strings
+    (with escapes), Tm-per-line vs Td/TL/T* positioning, single vs
+    split /Contents streams, and a /Differences-bearing encoding dict —
+    so a parser must implement the actual object-stream grammar (xref
+    byte offsets, stream /Length resolution, filters, string escape
+    rules, text-state operators), not match a fixed template. The
+    EXTRACTED TEXT is invariant under every variant: that invariance is
+    the correctness oracle."""
+    import zlib
+
+    h = _h(0, doc_id, "pdfvar")
+    words = text.split()
+    lines = [" ".join(words[i:i + PDF_WORDS_PER_LINE])
+             for i in range(0, len(words), PDF_WORDS_PER_LINE)] or [""]
+    pages = [lines[i:i + PDF_LINES_PER_PAGE]
+             for i in range(0, len(lines), PDF_LINES_PER_PAGE)]
+
+    compress = h % 2 == 0
+    tj_array = h % 3 == 0
+    hex_alt = h % 4 == 0
+    split_streams = h % 5 == 0
+    tm_pos = h % 7 == 0
+    # the /Differences dict redefines bytes 164/183 (¤/·) as
+    # Euro/bullet — a text containing the displaced characters cannot
+    # use it (cp1252 would emit those bytes with their old meaning)
+    differences = h % 11 == 0 and "¤" not in text and "·" not in text
+
+    def show_op(line: str, k: int) -> bytes:
+        hexf = hex_alt and k % 2 == 1
+        if tj_array and not hexf and " " in line:
+            ws = line.split(" ")
+            mid = len(ws) // 2
+            seg1 = (" ".join(ws[:mid]) + " ").encode("cp1252")
+            seg2 = " ".join(ws[mid:]).encode("cp1252")
+            return (b"[(" + _pdf_escape(seg1) + b") -250 ("
+                    + _pdf_escape(seg2) + b")] TJ")
+        return _pdf_show(line, hexf)
+
+    page_streams: list[list[bytes]] = []
+    for pg in pages:
+        ops: list[bytes] = []
+        if tm_pos:
+            for k, line in enumerate(pg):
+                y = PDF_Y0 - PDF_LEADING * k
+                ops.append(b"BT /F1 11 Tf 1 0 0 1 " + _fnum(PDF_X0)
+                           + b" " + _fnum(y) + b" Tm "
+                           + show_op(line, k) + b" ET")
+        else:
+            ops += [b"BT", b"/F1 11 Tf", _fnum(PDF_LEADING) + b" TL",
+                    _fnum(PDF_X0) + b" " + _fnum(PDF_Y0) + b" Td"]
+            for k, line in enumerate(pg):
+                if k:
+                    ops.append(b"T*")
+                ops.append(show_op(line, k))
+            ops.append(b"ET")
+        if split_streams and len(ops) > 2:
+            # a text object MAY span two content streams — consumers
+            # concatenate /Contents before tokenizing (PDF 32000-1 §7.8.2)
+            mid = len(ops) // 2
+            page_streams.append([b"\n".join(ops[:mid]),
+                                 b"\n".join(ops[mid:])])
+        else:
+            page_streams.append([b"\n".join(ops)])
+
+    font_enc = (b"<< /Type /Encoding /BaseEncoding /WinAnsiEncoding"
+                b" /Differences [164 /Euro 183 /bullet] >>"
+                if differences else b"/WinAnsiEncoding")
+    objs: dict[int, bytes] = {}
+    next_num = 4
+    stream_nums: list[list[int]] = []
+    for streams in page_streams:
+        nums = []
+        for s in streams:
+            data = zlib.compress(s) if compress else s
+            filt = b" /Filter /FlateDecode" if compress else b""
+            objs[next_num] = (b"<< /Length %d" % len(data) + filt
+                              + b" >>\nstream\n" + data + b"\nendstream")
+            nums.append(next_num)
+            next_num += 1
+        stream_nums.append(nums)
+    page_nums = []
+    for nums in stream_nums:
+        cont = (b"%d 0 R" % nums[0] if len(nums) == 1 else
+                b"[" + b" ".join(b"%d 0 R" % n for n in nums) + b"]")
+        objs[next_num] = (b"<< /Type /Page /Parent 2 0 R"
+                          b" /MediaBox [0 0 612 792]"
+                          b" /Resources << /Font << /F1 3 0 R >> >>"
+                          b" /Contents " + cont + b" >>")
+        page_nums.append(next_num)
+        next_num += 1
+    objs[1] = b"<< /Type /Catalog /Pages 2 0 R >>"
+    objs[2] = (b"<< /Type /Pages /Count %d /Kids [" % len(pages)
+               + b" ".join(b"%d 0 R" % n for n in page_nums) + b"] >>")
+    objs[3] = (b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica"
+               b" /Encoding " + font_enc + b" >>")
+
+    out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
+    offsets: dict[int, int] = {}
+    for num in sorted(objs):
+        offsets[num] = len(out)
+        out += b"%d 0 obj\n" % num + objs[num] + b"\nendobj\n"
+    xref_off = len(out)
+    maxn = max(objs)
+    out += b"xref\n0 %d\n" % (maxn + 1) + b"0000000000 65535 f \n"
+    for num in range(1, maxn + 1):
+        out += b"%010d 00000 n \n" % offsets[num]
+    out += (b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+            % (maxn + 1, xref_off))
+    return bytes(out)
+
+
+PDF_PAGES_SCHEMA = "doc_id bigint, pdf binary"
+
+
+def pdfs_from_documents(docs, id_col: str = "doc_id",
+                        text_col: str = "text"):
+    """(doc_id, pdf) — render each document's text as PDF bytes.
+    Arrow-batched mapInPandas, pure function of the input row; at scale
+    this is the synthetic stand-in for reading `html:binary` payloads
+    of content-type application/pdf from the pages table."""
+    import pandas as pd
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf[id_col].astype("int64"),
+                "pdf": [gen_pdf_bytes(int(i), t or "")
+                        for i, t in zip(pdf[id_col], pdf[text_col])],
+            })
+
+    return docs.select(id_col, text_col).mapInPandas(
+        gen, schema=PDF_PAGES_SCHEMA)
+
+
 EMBEDDINGS_SCHEMA = "vec_id bigint, embedding array<float>"
 
 

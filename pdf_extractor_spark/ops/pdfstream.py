@@ -1,0 +1,637 @@
+"""PDF object-stream parsing — the north star's byte-stream tier
+built from scratch: a batched byte-stream tokenizer parses PDF object
+streams (xref tables, content-stream operators, encoding decode to
+Unicode) and emits per-page extracted text plus line positions.
+
+Reference analog: `pdf_processor_core.py:318-345` and
+`processors/ficha_financeira_processor.py:387-398` delegate this layer
+to pdfplumber/pypdf; here the whole stack is implemented directly —
+no PDF library — as a pure-Python kernel applied over Arrow batches
+(`mapInPandas`), never per-row Python UDFs.
+
+Split of labor (same scale contract as `ops/boilerplate.py`):
+
+* **Python (Arrow batch)**: the byte-level parse only — xref/object
+  graph, stream inflation, content tokenization, byte→Unicode decode.
+  One linear pass per document, bounded by document size.
+* **Plan shape**: scan → mapInPandas, shuffle-free; per-doc page
+  fan-out happens inside the kernel, so at 10^12 documents the stage
+  is embarrassingly parallel and AQE/salting handles size skew
+  exactly as for the WBX2 kernel.
+
+Grammar coverage (PDF 32000-1): header + xref table + trailer +
+startxref; dictionaries, arrays, names (with #xx escapes), numbers,
+literal strings (escape sequences, nested parens, octal, line
+continuations), hex strings, indirect references, booleans/null;
+streams with direct or indirect /Length and /FlateDecode; the page
+tree (nested /Kids); /Contents as a single stream or an array
+(concatenated before tokenization); text operators BT ET Tf Td TD TL
+Tm T* Tj TJ ' "; font /Encoding as a name or a dictionary with
+/BaseEncoding + /Differences. Broken xref tables degrade to a
+brute-force object scan rather than failing the document.
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+_WS = b"\x00\t\n\x0c\r "
+_DELIM = b"()<>[]{}/%"
+_NUM_RE = re.compile(rb"[+-]?(?:\d+\.?\d*|\.\d+)")
+_OBJ_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b")
+_STARTXREF_RE = re.compile(rb"startxref\s+(\d+)")
+_XREF_SUB_RE = re.compile(rb"(\d+)\s+(\d+)\s*")
+_XREF_ENT_RE = re.compile(rb"(\d{10})\s+(\d{5})\s+([nf])\s*")
+
+
+class _Ref:
+    __slots__ = ("num",)
+
+    def __init__(self, num: int) -> None:
+        self.num = num
+
+
+class _Name(str):
+    """PDF name object — distinct from decoded strings."""
+
+
+def _skip_ws(buf: bytes, i: int) -> int:
+    n = len(buf)
+    while i < n:
+        c = buf[i:i + 1]
+        if c in (b"%",):                       # comment to EOL
+            j = buf.find(b"\n", i)
+            i = n if j < 0 else j + 1
+        elif c in _WS:
+            i += 1
+        else:
+            break
+    return i
+
+
+def _parse_name(buf: bytes, i: int) -> tuple[_Name, int]:
+    j = i + 1
+    n = len(buf)
+    out = bytearray()
+    while j < n:
+        c = buf[j:j + 1]
+        if c in _WS or c in _DELIM:
+            break
+        if c == b"#" and j + 2 < n:
+            try:
+                out.append(int(buf[j + 1:j + 3], 16))
+                j += 3
+                continue
+            except ValueError:
+                pass
+        out += c
+        j += 1
+    return _Name(out.decode("latin-1")), j
+
+
+_STR_ESC = {b"n": b"\n", b"r": b"\r", b"t": b"\t", b"b": b"\b",
+            b"f": b"\x0c", b"(": b"(", b")": b")", b"\\": b"\\"}
+
+
+def _parse_literal_string(buf: bytes, i: int) -> tuple[bytes, int]:
+    # i points at '('
+    out = bytearray()
+    depth = 1
+    j = i + 1
+    n = len(buf)
+    while j < n and depth:
+        c = buf[j:j + 1]
+        if c == b"\\":
+            e = buf[j + 1:j + 2]
+            if e in _STR_ESC:
+                out += _STR_ESC[e]
+                j += 2
+            elif e.isdigit():                   # octal, up to 3 digits
+                k = j + 1
+                while k < min(j + 4, n) and buf[k:k + 1].isdigit():
+                    k += 1
+                out.append(int(buf[j + 1:k], 8) & 0xFF)
+                j = k
+            elif e in (b"\n", b"\r"):           # line continuation
+                j += 2
+                if e == b"\r" and buf[j:j + 1] == b"\n":
+                    j += 1
+            else:                               # lone backslash: drop
+                j += 1
+        elif c == b"(":
+            depth += 1
+            out += c
+            j += 1
+        elif c == b")":
+            depth -= 1
+            if depth:
+                out += c
+            j += 1
+        else:
+            out += c
+            j += 1
+    return bytes(out), j
+
+
+def _parse_hex_string(buf: bytes, i: int) -> tuple[bytes, int]:
+    j = buf.find(b">", i + 1)
+    if j < 0:
+        j = len(buf)
+    hx = re.sub(rb"\s+", b"", buf[i + 1:j])
+    if len(hx) % 2:
+        hx += b"0"
+    try:
+        return bytes.fromhex(hx.decode("ascii")), j + 1
+    except ValueError:
+        return b"", j + 1
+
+
+def _parse_value(buf: bytes, i: int):
+    """One PDF object value starting at i → (value, next_pos).
+    Indirect references `N G R` fold to _Ref(N)."""
+    i = _skip_ws(buf, i)
+    n = len(buf)
+    if i >= n:
+        raise ValueError("eof")
+    c = buf[i:i + 1]
+    if buf.startswith(b"<<", i):
+        d: dict = {}
+        i += 2
+        while True:
+            i = _skip_ws(buf, i)
+            if buf.startswith(b">>", i):
+                return d, i + 2
+            if i >= n:
+                return d, i
+            key, i = _parse_name(buf, i)
+            val, i = _parse_value(buf, i)
+            d[str(key)] = val
+    if c == b"<":
+        return _parse_hex_string(buf, i)
+    if c == b"(":
+        return _parse_literal_string(buf, i)
+    if c == b"/":
+        return _parse_name(buf, i)
+    if c == b"[":
+        arr = []
+        i += 1
+        while True:
+            i = _skip_ws(buf, i)
+            if buf.startswith(b"]", i):
+                return arr, i + 1
+            if i >= n:
+                return arr, i
+            v, i = _parse_value(buf, i)
+            arr.append(v)
+    if buf.startswith(b"true", i):
+        return True, i + 4
+    if buf.startswith(b"false", i):
+        return False, i + 5
+    if buf.startswith(b"null", i):
+        return None, i + 4
+    m = _NUM_RE.match(buf, i)
+    if m:
+        tok = m.group()
+        i2 = m.end()
+        # reference lookahead: INT INT R
+        if b"." not in tok and not tok.startswith(b"-"):
+            j = _skip_ws(buf, i2)
+            m2 = _NUM_RE.match(buf, j)
+            if m2 and b"." not in m2.group():
+                k = _skip_ws(buf, m2.end())
+                if buf.startswith(b"R", k) and (
+                        k + 1 >= n or buf[k + 1:k + 2] in _WS
+                        or buf[k + 1:k + 2] in _DELIM):
+                    return _Ref(int(tok)), k + 1
+        return (float(tok) if b"." in tok else int(tok)), i2
+    raise ValueError(f"unparseable value at {i}")
+
+
+# --- encoding ------------------------------------------------------------
+
+def _winansi_table() -> list[str]:
+    out = []
+    for b in range(256):
+        try:
+            out.append(bytes([b]).decode("cp1252"))
+        except UnicodeDecodeError:
+            out.append("�")               # WinAnsi-undefined byte
+    return out
+
+
+_WINANSI = _winansi_table()
+
+# Adobe Glyph List subset: the names a Differences array in scope of
+# this corpus (plus common Latin-1 accents) can carry.
+_GLYPHS = {
+    "space": " ", "Euro": "€", "bullet": "•",
+    "emdash": "—", "endash": "–", "quotesingle": "'",
+    "quotedblleft": "“", "quotedblright": "”",
+    "agrave": "à", "aacute": "á", "acircumflex": "â",
+    "atilde": "ã", "ccedilla": "ç", "eacute": "é",
+    "ecircumflex": "ê", "iacute": "í", "oacute": "ó",
+    "ocircumflex": "ô", "otilde": "õ", "uacute": "ú",
+}
+
+
+def _glyph_to_unicode(name: str) -> str | None:
+    if name in _GLYPHS:
+        return _GLYPHS[name]
+    if name.startswith("uni") and len(name) == 7:
+        try:
+            return chr(int(name[3:], 16))
+        except ValueError:
+            return None
+    if len(name) == 1:
+        return name
+    return None
+
+
+class _Doc:
+    """Parsed object graph of one PDF byte string."""
+
+    def __init__(self, buf: bytes) -> None:
+        self.buf = buf
+        self.cache: dict[int, object] = {}
+        self.offsets, self.trailer = self._load_xref()
+
+    # -- xref -------------------------------------------------------------
+    def _load_xref(self) -> tuple[dict[int, int], dict]:
+        buf = self.buf
+        try:
+            m = None
+            for m in _STARTXREF_RE.finditer(buf[-256:] if len(buf) > 256
+                                            else buf):
+                pass
+            if m is None:
+                raise ValueError("no startxref")
+            off = int(m.group(1))
+            i = _skip_ws(buf, off)
+            if not buf.startswith(b"xref", i):
+                raise ValueError("bad xref offset")
+            i = _skip_ws(buf, i + 4)
+            offsets: dict[int, int] = {}
+            while True:
+                ms = _XREF_SUB_RE.match(buf, i)
+                if not ms:
+                    break
+                start, count = int(ms.group(1)), int(ms.group(2))
+                i = ms.end()
+                for k in range(count):
+                    me = _XREF_ENT_RE.match(buf, i)
+                    if not me:
+                        raise ValueError("bad xref entry")
+                    if me.group(3) == b"n":
+                        offsets[start + k] = int(me.group(1))
+                    i = me.end()
+            i = _skip_ws(buf, i)
+            if not buf.startswith(b"trailer", i):
+                raise ValueError("no trailer")
+            trailer, _ = _parse_value(buf, i + 7)
+            # validate: every offset must actually start "N G obj"
+            for num, o in offsets.items():
+                mo = _OBJ_RE.match(buf, _skip_ws(buf, o))
+                if not mo or int(mo.group(1)) != num:
+                    raise ValueError("xref offset mismatch")
+            return offsets, trailer
+        except (ValueError, KeyError):
+            return self._scan_fallback()
+
+    def _scan_fallback(self) -> tuple[dict[int, int], dict]:
+        """Corrupt/missing xref: brute-force scan for object headers
+        (last definition of a number wins, as incremental updates
+        would) and find the catalog by content."""
+        offsets: dict[int, int] = {}
+        for m in _OBJ_RE.finditer(self.buf):
+            offsets[int(m.group(1))] = m.start()
+        # obj()/resolve() (e.g. for an indirect /Length) need the map
+        # in place before any candidate parse below
+        self.offsets = offsets
+        trailer: dict = {}
+        for num in offsets:
+            try:
+                v = self._parse_obj(num, offsets)
+            except (ValueError, KeyError):
+                continue
+            d = v[0] if isinstance(v, tuple) else v
+            if isinstance(d, dict) and str(d.get("Type", "")) == "Catalog":
+                trailer = {"Root": _Ref(num), "Size": len(offsets) + 1}
+                break
+        return offsets, trailer
+
+    # -- objects ----------------------------------------------------------
+    def _parse_obj(self, num: int, offsets: dict[int, int] | None = None):
+        buf = self.buf
+        offs = self.offsets if offsets is None else offsets
+        i = _skip_ws(buf, offs[num])
+        m = _OBJ_RE.match(buf, i)
+        if not m:
+            raise ValueError(f"no obj header for {num}")
+        val, i = _parse_value(buf, m.end())
+        i = _skip_ws(buf, i)
+        if buf.startswith(b"stream", i):
+            i += 6
+            if buf.startswith(b"\r\n", i):
+                i += 2
+            elif buf.startswith(b"\n", i) or buf.startswith(b"\r", i):
+                i += 1
+            length = self.resolve(val.get("Length"))
+            if not isinstance(length, int):
+                end = buf.find(b"endstream", i)
+                length = max(end - i, 0)
+            raw = buf[i:i + length]
+            return (val, raw)
+        return val
+
+    def obj(self, num: int):
+        if num not in self.cache:
+            self.cache[num] = self._parse_obj(num)
+        return self.cache[num]
+
+    def resolve(self, v):
+        seen = 0
+        while isinstance(v, _Ref):
+            v = self.obj(v.num)
+            seen += 1
+            if seen > 32:                       # ref cycle guard
+                return None
+        return v
+
+    # -- streams ----------------------------------------------------------
+    def stream_data(self, v) -> bytes:
+        v = self.resolve(v)
+        if not (isinstance(v, tuple) and len(v) == 2):
+            return b""
+        d, raw = v
+        filters = self.resolve(d.get("Filter"))
+        if filters is None:
+            filters = []
+        elif not isinstance(filters, list):
+            filters = [filters]
+        for f in filters:
+            if str(f) == "FlateDecode":
+                raw = zlib.decompress(raw)
+            # unknown filters: pass bytes through, count elsewhere
+        return raw
+
+    # -- page tree --------------------------------------------------------
+    def pages(self) -> list[dict]:
+        root = self.resolve(self.trailer.get("Root"))
+        if not isinstance(root, dict):
+            return []
+        out: list[dict] = []
+
+        def walk(node, depth: int = 0) -> None:
+            node = self.resolve(node)
+            if isinstance(node, tuple):
+                node = node[0]
+            if not isinstance(node, dict) or depth > 64:
+                return
+            if str(node.get("Type", "")) == "Page":
+                out.append(node)
+                return
+            for kid in self.resolve(node.get("Kids")) or []:
+                walk(kid, depth + 1)
+
+        walk(root.get("Pages"))
+        return out
+
+    def page_content(self, page: dict) -> bytes:
+        cont = self.resolve(page.get("Contents"))
+        parts: list[bytes] = []
+        if isinstance(cont, list):
+            for c in cont:
+                parts.append(self.stream_data(c))
+        elif cont is not None:
+            parts.append(self.stream_data(cont))
+        # streams concatenate with whitespace between (§7.8.2)
+        return b"\n".join(parts)
+
+    def page_encoding(self, page: dict) -> list[str]:
+        """byte → unicode table for the page's (single) font."""
+        table = list(_WINANSI)
+        res = self.resolve(page.get("Resources")) or {}
+        fonts = self.resolve(res.get("Font")) or {}
+        for ref in fonts.values():
+            font = self.resolve(ref)
+            if isinstance(font, tuple):
+                font = font[0]
+            if not isinstance(font, dict):
+                continue
+            enc = self.resolve(font.get("Encoding"))
+            if isinstance(enc, dict):
+                diffs = self.resolve(enc.get("Differences")) or []
+                code = 0
+                for item in diffs:
+                    if isinstance(item, (int, float)):
+                        code = int(item)
+                    elif isinstance(item, _Name):
+                        u = _glyph_to_unicode(str(item))
+                        if 0 <= code < 256:
+                            table[code] = u if u is not None else "�"
+                        code += 1
+            # name encodings: WinAnsiEncoding is the base table already;
+            # MacRoman/Standard differ only outside ASCII — out of scope
+        return table
+
+
+# --- content-stream tokenizer -------------------------------------------
+
+_OPER_RE = re.compile(rb"[A-Za-z'\"*]+")
+
+
+def _tokenize_content(buf: bytes):
+    """Yield ('str', bytes) | ('num', float) | ('name', str) |
+    ('arr', list) | ('op', str) in stream order."""
+    i, n = 0, len(buf)
+    arr_stack: list[list] = []
+    while i < n:
+        i = _skip_ws(buf, i)
+        if i >= n:
+            break
+        c = buf[i:i + 1]
+        if c == b"(":
+            s, i = _parse_literal_string(buf, i)
+            if arr_stack:
+                arr_stack[-1].append(s)
+            else:
+                yield ("str", s)
+        elif buf.startswith(b"<<", i):          # inline dict (e.g. BDC)
+            _, i = _parse_value(buf, i)
+        elif c == b"<":
+            s, i = _parse_hex_string(buf, i)
+            if arr_stack:
+                arr_stack[-1].append(s)
+            else:
+                yield ("str", s)
+        elif c == b"[":
+            arr_stack.append([])
+            i += 1
+        elif c == b"]":
+            i += 1
+            if arr_stack:
+                arr = arr_stack.pop()
+                if arr_stack:
+                    arr_stack[-1].append(arr)
+                else:
+                    yield ("arr", arr)
+        elif c == b"/":
+            nm, i = _parse_name(buf, i)
+            if arr_stack:
+                arr_stack[-1].append(nm)
+            else:
+                yield ("name", str(nm))
+        else:
+            m = _NUM_RE.match(buf, i)
+            if m:
+                v = float(m.group())
+                i = m.end()
+                if arr_stack:
+                    arr_stack[-1].append(v)
+                else:
+                    yield ("num", v)
+                continue
+            m = _OPER_RE.match(buf, i)
+            if m:
+                yield ("op", m.group().decode("latin-1"))
+                i = m.end()
+            else:
+                i += 1                          # unknown byte: skip
+
+
+def _extract_page(content: bytes, enc_table: list[str]
+                  ) -> tuple[list[tuple[float, float, str]], int, int]:
+    """Run the text-state machine over one page's content.
+    Returns (shows, n_ops, decode_failures): shows are
+    (y, x, text) at line-start coordinates, in stream order."""
+    lx = ly = 0.0
+    leading = 0.0
+    shows: list[tuple[float, float, str]] = []
+    operands: list = []
+    n_ops = failures = 0
+
+    def decode(raw: bytes) -> str:
+        nonlocal failures
+        out = []
+        for b in raw:
+            ch = enc_table[b]
+            if ch == "�":
+                failures += 1
+            out.append(ch)
+        return "".join(out)
+
+    for kind, val in _tokenize_content(content):
+        if kind != "op":
+            operands.append((kind, val))
+            continue
+        n_ops += 1
+        op = val
+        try:
+            if op == "BT":
+                lx = ly = 0.0
+            elif op == "Td" and len(operands) >= 2:
+                lx += operands[-2][1]
+                ly += operands[-1][1]
+            elif op == "TD" and len(operands) >= 2:
+                leading = -operands[-1][1]
+                lx += operands[-2][1]
+                ly += operands[-1][1]
+            elif op == "TL" and operands:
+                leading = operands[-1][1]
+            elif op == "Tm" and len(operands) >= 6:
+                lx = operands[-2][1]
+                ly = operands[-1][1]
+            elif op == "T*":
+                ly -= leading
+            elif op == "Tj" and operands and operands[-1][0] == "str":
+                shows.append((ly, lx, decode(operands[-1][1])))
+            elif op == "'" and operands and operands[-1][0] == "str":
+                ly -= leading
+                shows.append((ly, lx, decode(operands[-1][1])))
+            elif op == '"' and operands and operands[-1][0] == "str":
+                ly -= leading
+                shows.append((ly, lx, decode(operands[-1][1])))
+            elif op == "TJ" and operands and operands[-1][0] == "arr":
+                txt = "".join(decode(e) for e in operands[-1][1]
+                              if isinstance(e, bytes))
+                shows.append((ly, lx, txt))
+        except (TypeError, IndexError):
+            failures += 1
+        operands.clear()
+    return shows, n_ops, failures
+
+
+def parse_pdf_doc(pdf: bytes) -> list[dict]:
+    """One document → list of page dicts
+    (page_idx, text, n_lines, n_ops, decode_failures, line y order).
+    Lines = shows grouped by y (rounded to 0.1 pt), top-to-bottom;
+    segments within a line concatenate in stream order."""
+    if not pdf:
+        return []
+    try:
+        doc = _Doc(pdf)
+        pages = doc.pages()
+    except Exception:
+        pages = []
+    if not pages:
+        # nonempty bytes with no parseable page tree: surface one
+        # failure row so audit metrics can count hard decode failures
+        return [dict(page_idx=0, text="", n_lines=0, n_ops=0,
+                     decode_failures=1)]
+    out = []
+    for idx, page in enumerate(pages):
+        try:
+            content = doc.page_content(page)
+            enc = doc.page_encoding(page)
+            shows, n_ops, failures = _extract_page(content, enc)
+        except Exception:
+            out.append(dict(page_idx=idx, text="", n_lines=0, n_ops=0,
+                            decode_failures=1))
+            continue
+        lines: dict[float, list[str]] = {}
+        for y, _x, txt in shows:
+            lines.setdefault(round(y, 1), []).append(txt)
+        ordered = sorted(lines.items(), key=lambda kv: -kv[0])
+        out.append(dict(
+            page_idx=idx,
+            text="\n".join("".join(parts) for _, parts in ordered),
+            n_lines=len(ordered),
+            n_ops=n_ops,
+            decode_failures=failures,
+        ))
+    return out
+
+
+PARSED_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("page_idx", T.IntegerType()),
+    T.StructField("text", T.StringType()),
+    T.StructField("n_lines", T.IntegerType()),
+    T.StructField("n_ops", T.IntegerType()),
+    T.StructField("decode_failures", T.IntegerType()),
+])
+
+
+def parse_pdf_pages(df: DataFrame, pdf_col: str = "pdf",
+                    id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, page_idx, text, n_lines, n_ops, decode_failures) —
+    one row per parsed page. Scan → mapInPandas, shuffle-free; the
+    page fan-out happens inside the kernel."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, raw in zip(pdf[id_col], pdf[pdf_col]):
+                for page in parse_pdf_doc(bytes(raw) if raw is not None
+                                          else b""):
+                    rows.append({"doc_id": int(i), **page})
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in PARSED_SCHEMA.fields])
+
+    return df.select(id_col, pdf_col).mapInPandas(run, PARSED_SCHEMA)

@@ -707,8 +707,15 @@ def text_lang_id(spark, sf_dir):
                     pred.alias("lang_pred"))
 
 
-@q("text_quality_score", """
-SELECT doc_id,
+_PT_FULL = ("de|da|do|que|e|o|a|em|para|com|um|uma|os|as|dos|das|no|na|"
+            "por|se")
+_EN_FULL = ("the|of|and|to|in|a|is|that|it|for|on|was|with|as|at|by|be|"
+            "this")
+
+
+@q("text_quality", f"""
+WITH ratios AS (
+  SELECT doc_id,
        ROUND(length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
              / GREATEST(length(text), 1), 6) AS punct_ratio,
        ROUND(length(regexp_replace(text, '[^0-9]', '', 'g'))
@@ -717,31 +724,8 @@ SELECT doc_id,
              / GREATEST(CASE WHEN trim(text) = '' THEN 0
                         ELSE length(regexp_split_to_array(trim(text), '\\s+'))
                         END, 1), 6) AS mean_word_len
-FROM documents
-""")
-def text_quality_score(spark, sf_dir):
-    d = T(spark, sf_dir, "documents")
-    n_chars = F.length("text")
-    t = F.trim("text")
-    n_tokens = F.when(t == "", 0).otherwise(F.size(F.split(t, r"\s+")))
-    n_punct = F.length(F.regexp_replace("text", r"[^.,;:!?]", ""))
-    n_digit = F.length(F.regexp_replace("text", r"[^0-9]", ""))
-    return d.select(
-        "doc_id",
-        F.round(n_punct / F.greatest(n_chars, F.lit(1)), 6).alias("punct_ratio"),
-        F.round(n_digit / F.greatest(n_chars, F.lit(1)), 6).alias("digit_ratio"),
-        F.round(n_chars / F.greatest(n_tokens, F.lit(1)), 6).alias("mean_word_len"),
-    )
-
-
-_PT_FULL = ("de|da|do|que|e|o|a|em|para|com|um|uma|os|as|dos|das|no|na|"
-            "por|se")
-_EN_FULL = ("the|of|and|to|in|a|is|that|it|for|on|was|with|as|at|by|be|"
-            "this")
-
-
-@q("text_quality_composite", f"""
-WITH f AS (
+  FROM documents
+), f AS (
   SELECT doc_id,
     CASE WHEN trim(text) = '' THEN 0
          ELSE len(regexp_split_to_array(trim(text), '\\s+'))
@@ -755,22 +739,84 @@ WITH f AS (
     ROUND(length(regexp_replace(text, '[^0-9]', '', 'g'))
           / GREATEST(length(text), 1), 6) AS digit_ratio
   FROM documents)
-SELECT doc_id, n_tokens, stopword_ratio,
+SELECT 'ratios' AS src, doc_id, punct_ratio AS m1, digit_ratio AS m2,
+       mean_word_len AS m3
+FROM ratios
+UNION ALL
+SELECT 'composite', doc_id, CAST(n_tokens AS DOUBLE), stopword_ratio,
   ROUND(CASE WHEN n_tokens < 5 THEN 0.0 ELSE
     GREATEST(0.0, LEAST(1.0,
       0.4 * LEAST(stopword_ratio * 4, 1.0)
       + 0.3 * (1 - LEAST(digit_ratio * 5, 1.0))
-      + 0.3 * (1 - LEAST(punct_ratio * 5, 1.0)))) END, 6) AS quality_score
+      + 0.3 * (1 - LEAST(punct_ratio * 5, 1.0)))) END, 6)
 FROM f
 """)
-def text_quality_composite(spark, sf_dir):
-    """Full quality_features op (stopword ratio over the complete
-    PT+EN lists + the composite [0,1] score)."""
+def text_quality(spark, sf_dir):
+    """Quality metrics, merged pair (registry capped at 50): branch
+    'ratios' = the raw punct/digit/mean-word-length ratios; branch
+    'composite' = the full quality_features op (stopword ratio over
+    the complete PT+EN lists + the composite [0,1] score). Every
+    original value stays independently hash-checked under generic
+    m1–m3 names."""
     from .ops.textstats import quality_features
 
     d = T(spark, sf_dir, "documents")
-    return quality_features(d).select(
-        "doc_id", "n_tokens", "stopword_ratio", "quality_score")
+    n_chars = F.length("text")
+    t = F.trim("text")
+    n_tokens = F.when(t == "", 0).otherwise(F.size(F.split(t, r"\s+")))
+    n_punct = F.length(F.regexp_replace("text", r"[^.,;:!?]", ""))
+    n_digit = F.length(F.regexp_replace("text", r"[^0-9]", ""))
+    ratios = d.select(
+        F.lit("ratios").alias("src"),
+        "doc_id",
+        F.round(n_punct / F.greatest(n_chars, F.lit(1)), 6).alias("m1"),
+        F.round(n_digit / F.greatest(n_chars, F.lit(1)), 6).alias("m2"),
+        F.round(n_chars / F.greatest(n_tokens, F.lit(1)), 6).alias("m3"),
+    )
+    comp = quality_features(d).select(
+        F.lit("composite").alias("src"),
+        "doc_id",
+        F.col("n_tokens").cast("double").alias("m1"),
+        F.col("stopword_ratio").alias("m2"),
+        F.col("quality_score").alias("m3"),
+    )
+    return ratios.unionByName(comp)
+
+
+@q("pdf_parse_pages", """
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws
+  FROM documents
+), li AS (
+  SELECT doc_id, ws,
+         unnest(generate_series(0, CAST((len(ws) - 1) // 12 AS INT))) AS k
+  FROM w
+), lines AS (
+  SELECT doc_id, k,
+         array_to_string(list_slice(ws, k * 12 + 1, k * 12 + 12), ' ') AS line
+  FROM li
+)
+SELECT doc_id, CAST(k // 4 AS INT) AS page_idx,
+       string_agg(line, chr(10) ORDER BY k) AS text,
+       CAST(COUNT(*) AS INT) AS n_lines
+FROM lines GROUP BY 1, 2
+""")
+def pdf_parse_pages(spark, sf_dir):
+    """The byte-stream tier round trip: render each document's text as
+    a real PDF (datagen.gen_pdf_bytes — xref table, content streams,
+    per-doc variants: FlateDecode, TJ arrays, hex strings, Tm vs
+    Td/T*, split /Contents, /Differences encodings) and parse it back
+    with the from-scratch object-stream parser (ops/pdfstream). The
+    oracle never touches PDF bytes: it recomputes the wrap/pagination
+    rule (12 words/line, 4 lines/page) directly from documents.text,
+    so the extracted text must be byte-identical per (doc, page)
+    across every representation variant."""
+    from .datagen import pdfs_from_documents
+    from .ops.pdfstream import parse_pdf_pages
+
+    d = T(spark, sf_dir, "documents")
+    return parse_pdf_pages(pdfs_from_documents(d)).select(
+        "doc_id", "page_idx", "text", "n_lines")
 
 
 @q("text_fingerprint", """

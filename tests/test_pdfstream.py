@@ -1,0 +1,178 @@
+"""PDF object-stream tier: writer↔parser round trip, adversarial
+grammar pins, and the shuffle-free plan contract.
+
+The correctness model is the generate→parse identity: the writer's
+pagination rule (12 words/line, 4 lines/page) is a pure function of
+the raw text, so extracted text must be byte-identical to the rule's
+output regardless of which representation variants (compression, TJ
+arrays, hex strings, Tm positioning, split streams, Differences
+encodings) the per-doc hash selected — the same invariance the driver
+row `pdf_parse_pages` checks against a DuckDB oracle that never sees
+PDF bytes."""
+
+import re
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from pdf_extractor_spark.datagen import (PDF_LINES_PER_PAGE,
+                                         PDF_WORDS_PER_LINE, doc_row,
+                                         gen_pdf_bytes)
+from pdf_extractor_spark.ops.pdfstream import parse_pdf_doc
+
+
+def _expected_pages(text: str) -> list[str]:
+    ws = text.split()
+    lines = [" ".join(ws[i:i + PDF_WORDS_PER_LINE])
+             for i in range(0, len(ws), PDF_WORDS_PER_LINE)] or [""]
+    return ["\n".join(lines[i:i + PDF_LINES_PER_PAGE])
+            for i in range(0, len(lines), PDF_LINES_PER_PAGE)]
+
+
+def _assert_roundtrip(doc_id: int, text: str) -> None:
+    parsed = parse_pdf_doc(gen_pdf_bytes(doc_id, text))
+    assert [p["text"] for p in parsed] == _expected_pages(text)
+    assert [p["page_idx"] for p in parsed] == list(range(len(parsed)))
+    assert sum(p["decode_failures"] for p in parsed) == 0
+
+
+def test_roundtrip_corpus_slice():
+    """doc_ids 0..199 cover every variant combination of the per-doc
+    hash (compress × tj_array × hex × split × tm × differences)."""
+    for doc_id in range(200):
+        _assert_roundtrip(doc_id, doc_row(42, doc_id)["text"])
+
+
+def test_roundtrip_special_chars():
+    # parens/backslashes exercise literal-string escaping; cp1252
+    # accents exercise WinAnsi decode
+    for doc_id in range(12):   # every writer variant again
+        _assert_roundtrip(
+            doc_id,
+            "par(en) close) back\\slash open( fim ação coração à é ç")
+
+
+def test_roundtrip_single_word_and_exact_boundaries():
+    for doc_id in (0, 3, 4, 6, 7):
+        _assert_roundtrip(doc_id, "word")
+        _assert_roundtrip(doc_id, " ".join(f"w{i}" for i in range(12)))
+        _assert_roundtrip(doc_id, " ".join(f"w{i}" for i in range(48)))
+        _assert_roundtrip(doc_id, " ".join(f"w{i}" for i in range(49)))
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.integers(0, 10 ** 6),
+       st.lists(st.text(
+           st.characters(min_codepoint=33, max_codepoint=255,
+                         exclude_characters="".join(
+                             chr(c) for c in range(0x7F, 0xA0))),
+           min_size=1, max_size=12), min_size=1, max_size=60))
+def test_roundtrip_fuzz(doc_id, words):
+    """Any cp1252-encodable word sequence survives the round trip
+    under whichever representation variant doc_id selects (codepoints
+    U+007F–U+009F excluded: not cp1252-encodable)."""
+    _assert_roundtrip(doc_id, " ".join(words))
+
+
+def test_broken_xref_falls_back_to_scan():
+    pdf = gen_pdf_bytes(7, "alpha beta gamma delta")
+    corrupt = re.sub(rb"startxref\n\d+", b"startxref\n999999", pdf)
+    parsed = parse_pdf_doc(corrupt)
+    assert [p["text"] for p in parsed] == _expected_pages(
+        "alpha beta gamma delta")
+
+
+def test_garbage_and_empty_inputs():
+    assert parse_pdf_doc(b"") == []
+    bad = parse_pdf_doc(b"this is not a pdf")
+    assert len(bad) == 1 and bad[0]["decode_failures"] == 1
+
+
+def _minimal_pdf(objs: dict[int, bytes]) -> bytes:
+    out = bytearray(b"%PDF-1.4\n")
+    offs = {}
+    for n in sorted(objs):
+        offs[n] = len(out)
+        out += b"%d 0 obj\n" % n + objs[n] + b"\nendobj\n"
+    xo = len(out)
+    top = max(objs) + 1
+    out += b"xref\n0 %d\n0000000000 65535 f \n" % top
+    for n in range(1, top):
+        out += b"%010d 00000 n \n" % offs[n]
+    out += (b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+            % (top, xo))
+    return bytes(out)
+
+
+def test_differences_decode_and_indirect_length():
+    """Bytes remapped by /Differences decode through the glyph map;
+    /Length held in a separate indirect object resolves through the
+    xref."""
+    body = b"BT /F1 11 Tf 72 720 Td (cost \\244 and \\267 mark) Tj ET"
+    pdf = _minimal_pdf({
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Count 1 /Kids [4 0 R] >>",
+        3: (b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica"
+            b" /Encoding << /Type /Encoding /BaseEncoding"
+            b" /WinAnsiEncoding /Differences [164 /Euro 183 /bullet]"
+            b" >> >>"),
+        4: (b"<< /Type /Page /Parent 2 0 R /Resources"
+            b" << /Font << /F1 3 0 R >> >> /Contents 5 0 R >>"),
+        5: b"<< /Length 6 0 R >>\nstream\n" + body + b"\nendstream",
+        6: b"%d" % len(body),
+    })
+    parsed = parse_pdf_doc(pdf)
+    assert parsed[0]["text"] == "cost € and • mark"
+    assert parsed[0]["decode_failures"] == 0
+
+
+def test_nested_page_tree():
+    """/Kids may nest intermediate /Pages nodes; traversal must flatten
+    them in document order."""
+    mk = (b"BT /F1 11 Tf 72 720 Td (%s) Tj ET")
+    objs = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Count 2 /Kids [7 0 R 4 0 R] >>",
+        7: b"<< /Type /Pages /Count 1 /Kids [3 0 R] /Parent 2 0 R >>",
+        3: (b"<< /Type /Page /Parent 7 0 R /Contents 5 0 R >>"),
+        4: (b"<< /Type /Page /Parent 2 0 R /Contents 6 0 R >>"),
+        5: (b"<< /Length %d >>\nstream\n" % len(mk % b"first")
+            + mk % b"first" + b"\nendstream"),
+        6: (b"<< /Length %d >>\nstream\n" % len(mk % b"second")
+            + mk % b"second" + b"\nendstream"),
+    }
+    parsed = parse_pdf_doc(_minimal_pdf(objs))
+    assert [p["text"] for p in parsed] == ["first", "second"]
+
+
+def test_pdf_parse_shuffle_free_plan(spark, sf_dir):
+    """render → parse must be scan → mapInPandas → mapInPandas with no
+    exchange anywhere — the whole tier is embarrassingly parallel."""
+    from pdf_extractor_spark.datagen import pdfs_from_documents
+    from pdf_extractor_spark.ops.pdfstream import parse_pdf_pages
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df = parse_pdf_pages(pdfs_from_documents(docs))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("MapInPandas") == 2
+    assert "Exchange" not in plan
+
+
+def test_pdf_parse_pages_dataframe(spark, sf_dir):
+    from pdf_extractor_spark.datagen import pdfs_from_documents
+    from pdf_extractor_spark.ops.pdfstream import parse_pdf_pages
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    got = (parse_pdf_pages(pdfs_from_documents(docs))
+           .orderBy("doc_id", "page_idx").collect())
+    texts = {r.doc_id: r.text for r in docs.select("doc_id", "text")
+             .collect()}
+    assert got, "no pages parsed"
+    by_doc: dict[int, list] = {}
+    for r in got:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == set(texts)
+    for doc_id, rows in by_doc.items():
+        assert [r.text for r in rows] == _expected_pages(texts[doc_id])
+        assert all(r.decode_failures == 0 for r in rows)
