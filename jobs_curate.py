@@ -25,7 +25,8 @@ Optional Gopher-style repetition ceilings (--max-dup-word-frac /
 Web tier: pass --html-col <col> to treat that column as raw HTML —
 the job then composes boilerplate strip (ops.boilerplate) with the
 stages above, curating the EXTRACTED main text; curated/ additionally
-carries a main_text column.
+carries a main_text column. Pass --pdf-col <col> instead to compose
+the PDF object-stream parse (ops.pdfstream) the same way.
 """
 
 from __future__ import annotations
@@ -39,7 +40,8 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 from pyspark.sql import functions as F  # noqa: E402
 
 from pdf_extractor_spark.ops.curate import (  # noqa: E402
-    curate_corpus, curation_stage_counts, extract_main_text)
+    curate_corpus, curation_stage_counts, extract_main_text,
+    extract_pdf_text)
 from pdf_extractor_spark.ops.dedup import (  # noqa: E402
     minhash_lsh_pairs, pick_minhash_shape, simhash_pairs)
 from pdf_extractor_spark.session import get_spark  # noqa: E402
@@ -69,12 +71,19 @@ def main() -> None:
                     help="treat this column as raw HTML: boilerplate-"
                          "strip it first (web tier) and curate the "
                          "extracted main text")
+    ap.add_argument("--pdf-col", default=None,
+                    help="treat this column as PDF bytes: parse the "
+                         "object streams (pdf tier) and curate the "
+                         "reassembled page text")
     args = ap.parse_args()
+    if args.html_col and args.pdf_col:
+        ap.error("--html-col and --pdf-col are mutually exclusive")
 
     spark = get_spark(f"curate-{args.run_id}")
     out = args.out.rstrip("/")
     raw = spark.read.parquet(args.documents).persist()
     orig_id = args.id_col
+    extracted = args.html_col or args.pdf_col
     if args.html_col:
         # composed web tier: scan → mapInPandas boilerplate strip →
         # everything below (gates, dedup, pairs) runs on main text.
@@ -82,6 +91,12 @@ def main() -> None:
         # the flatten kernel must run once, not per consumer.
         docs = extract_main_text(raw, html_col=args.html_col,
                                  id_col=args.id_col).persist()
+        args.id_col, args.text_col = "doc_id", "text"
+    elif args.pdf_col:
+        # composed pdf tier: scan → mapInPandas object-stream parse →
+        # one keyed exchange reassembling pages → gates/dedup
+        docs = extract_pdf_text(raw, pdf_col=args.pdf_col,
+                                id_col=args.id_col).persist()
         args.id_col, args.text_col = "doc_id", "text"
     else:
         docs = raw
@@ -116,7 +131,7 @@ def main() -> None:
         max_top_word_frac=args.max_top_word_frac,
         max_dup_bigram_frac=args.max_dup_bigram_frac)
     kept = curate_corpus(docs, near_dup_pairs=pairs, **gate_kwargs)
-    if args.html_col:
+    if extracted:
         # curated output = original columns + the extracted main_text
         curated = raw.join(
             docs.join(kept.select("doc_id"), "doc_id", "left_semi")

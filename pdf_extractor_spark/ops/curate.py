@@ -111,6 +111,30 @@ def extract_main_text(pages: DataFrame, html_col: str = "html_text",
         F.col("main_text").alias("text"))
 
 
+def extract_pdf_text(pages: DataFrame, pdf_col: str = "pdf",
+                     id_col: str = "doc_id") -> DataFrame:
+    """PDF-tier front door: parse each document's PDF bytes
+    (``ops.pdfstream.parse_pdf_pages``) and reassemble the per-page
+    texts into the (doc_id, text) shape the curation stack consumes.
+
+    The parse itself is shuffle-free (scan → mapInPandas); the page →
+    document reassembly is the tier's ONE keyed exchange — inherent,
+    because pages of a document land on different input splits at
+    10^12-document scale. Everything downstream (gates, dedup) reuses
+    that exchange's partitioning where Catalyst can."""
+    from .pdfstream import parse_pdf_pages
+
+    parsed = parse_pdf_pages(pages, pdf_col=pdf_col, id_col=id_col)
+    return (parsed                      # parse output is keyed "doc_id"
+            .groupBy("doc_id")
+            .agg(F.array_sort(F.collect_list(F.struct("page_idx", "text")))
+                 .alias("pgs"))
+            .select("doc_id",
+                    F.array_join(
+                        F.transform("pgs", lambda s: s["text"]), "\n")
+                    .alias("text")))
+
+
 def curate_corpus(docs: DataFrame, near_dup_pairs: DataFrame | None = None,
                   id_col: str = "doc_id", text_col: str = "text",
                   min_tokens: int = 5, max_digit_ratio: float = 0.2,

@@ -176,3 +176,22 @@ def test_pdf_parse_pages_dataframe(spark, sf_dir):
     for doc_id, rows in by_doc.items():
         assert [r.text for r in rows] == _expected_pages(texts[doc_id])
         assert all(r.decode_failures == 0 for r in rows)
+
+
+def test_pdf_tier_curation_invariant(spark, sf_dir):
+    """Composing render → parse → reassemble in front of the curation
+    stack must keep exactly the docs that curating the raw text keeps:
+    every gate is whitespace-normalized, and the round trip only
+    rewrites whitespace (words → lines → pages)."""
+    from pdf_extractor_spark.datagen import pdfs_from_documents
+    from pdf_extractor_spark.ops.curate import (curate_corpus,
+                                                extract_pdf_text)
+
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id", "text"))
+    direct = {(r.doc_id, r.lang_pred, r.n_tokens)
+              for r in curate_corpus(docs).collect()}
+    via_pdf = {(r.doc_id, r.lang_pred, r.n_tokens)
+               for r in curate_corpus(
+                   extract_pdf_text(pdfs_from_documents(docs))).collect()}
+    assert direct == via_pdf and direct
