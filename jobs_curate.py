@@ -4,7 +4,7 @@
         --documents /path/to/documents_parquet --out /path/to/out \
         --run-id c1 [--near-dup minhash|simhash|none] \
         [--min-tokens 5 --max-digit-ratio 0.2 --max-punct-ratio 0.3] \
-        [--langs pt,en] [--threshold 0.8]
+        [--langs pt,en] [--threshold 0.8] [--resume]
 
 Stages (the `ops.curate` composition over a documents table):
   quality gate → language filter → exact dedup → near-dup pair
@@ -14,10 +14,13 @@ Stages (the `ops.curate` composition over a documents table):
 Outputs under --out:
   curated/         kept documents, all input columns preserved
   near_dup_pairs/  (a, b, …) pair evidence (when --near-dup != none)
-  audit/           one row: input/kept/pair counts + parameters
+  audit/           one row per run: input/kept/pair counts + parameters
   stage_counts/    per-stage drop accounting (stage, n_docs): each
                    document's first failing gate — quality / language /
                    exact_dup / near_dup / kept; sums to input_docs
+  state/           resume checkpoint: manifest/ (processed ids),
+                   qualified_hashes/ (gate-surviving content hashes),
+                   bands/ (the MinHash-LSH band index)
 
 Optional Gopher-style repetition ceilings (--max-dup-word-frac /
 --max-top-word-frac / --max-dup-bigram-frac) join the quality gate.
@@ -27,6 +30,19 @@ the job then composes boilerplate strip (ops.boilerplate) with the
 stages above, curating the EXTRACTED main text; curated/ additionally
 carries a main_text column. Pass --pdf-col <col> instead to compose
 the PDF object-stream parse (ops.pdfstream) the same way.
+
+Resume (--resume): incremental curation over an APPEND-ONLY input
+table (the Common-Crawl shape: new snapshots append pages). Only docs
+missing from state/manifest are extracted and gated; exact dedup
+anti-joins their hashes against state/qualified_hashes; near-dup bands
+are computed for the new batch only and joined against the persisted
+band index, so per-increment work scales with the increment — the
+corpus is never re-banded. Jaccard verification re-reads just the
+candidate docs from the input (extraction re-runs only for those).
+Assumes crawl-ordered ids (new ids > already-processed ids); under
+that ordering an incremental run keeps exactly the docs a batch run
+over the union would keep (pytest-pinned). Requires
+--near-dup minhash or none.
 """
 
 from __future__ import annotations
@@ -41,10 +57,19 @@ from pyspark.sql import functions as F  # noqa: E402
 
 from pdf_extractor_spark.ops.curate import (  # noqa: E402
     curate_corpus, curation_stage_counts, extract_main_text,
-    extract_pdf_text)
+    extract_pdf_text, qualified_hashes)
 from pdf_extractor_spark.ops.dedup import (  # noqa: E402
-    minhash_lsh_pairs, pick_minhash_shape, simhash_pairs)
+    band_candidates, cap_megabuckets, jaccard_for_pairs,
+    minhash_band_hashes, minhash_lsh_pairs_with_bands,
+    pick_minhash_shape, simhash_pairs)
 from pdf_extractor_spark.session import get_spark  # noqa: E402
+
+
+def _hdfs_exists(spark, path: str) -> bool:
+    jvm = spark.sparkContext._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    return p.getFileSystem(conf).exists(p)
 
 
 def main() -> None:
@@ -75,54 +100,109 @@ def main() -> None:
                     help="treat this column as PDF bytes: parse the "
                          "object streams (pdf tier) and curate the "
                          "reassembled page text")
+    ap.add_argument("--resume", action="store_true",
+                    help="incremental run over an append-only input: "
+                         "process only docs missing from state/manifest "
+                         "and dedup them against the persisted state "
+                         "(assumes crawl-ordered ids; minhash or none)")
     args = ap.parse_args()
     if args.html_col and args.pdf_col:
         ap.error("--html-col and --pdf-col are mutually exclusive")
+    if args.resume and args.near_dup == "simhash":
+        ap.error("--resume supports --near-dup minhash or none")
 
     spark = get_spark(f"curate-{args.run_id}")
     out = args.out.rstrip("/")
-    raw = spark.read.parquet(args.documents).persist()
+    state = f"{out}/state"
+    raw_all = spark.read.parquet(args.documents).persist()
     orig_id = args.id_col
     extracted = args.html_col or args.pdf_col
-    if args.html_col:
-        # composed web tier: scan → mapInPandas boilerplate strip →
-        # everything below (gates, dedup, pairs) runs on main text.
-        # Persisted because pairs + curate + stage counts all read it —
-        # the flatten kernel must run once, not per consumer.
-        docs = extract_main_text(raw, html_col=args.html_col,
-                                 id_col=args.id_col).persist()
-        args.id_col, args.text_col = "doc_id", "text"
-    elif args.pdf_col:
-        # composed pdf tier: scan → mapInPandas object-stream parse →
-        # one keyed exchange reassembling pages → gates/dedup
-        docs = extract_pdf_text(raw, pdf_col=args.pdf_col,
-                                id_col=args.id_col).persist()
-        args.id_col, args.text_col = "doc_id", "text"
-    else:
-        docs = raw
-    n_in = docs.count()          # warms the persist; also the audit row
 
+    def front_door(df):
+        """input rows → the (doc_id, text) shape the stages consume"""
+        if args.html_col:
+            # composed web tier: scan → mapInPandas boilerplate strip
+            return extract_main_text(df, html_col=args.html_col,
+                                     id_col=orig_id)
+        if args.pdf_col:
+            # composed pdf tier: scan → mapInPandas object-stream
+            # parse → one keyed exchange reassembling pages
+            return extract_pdf_text(df, pdf_col=args.pdf_col,
+                                    id_col=orig_id)
+        return df
+
+    resuming = args.resume and _hdfs_exists(spark, f"{state}/manifest")
+    old_hashes = old_bands = None
+    if resuming:
+        manifest = spark.read.parquet(f"{state}/manifest")
+        raw = raw_all.join(manifest.select(F.col("doc_id").alias(orig_id)),
+                           orig_id, "left_anti").persist()
+        old_hashes = spark.read.parquet(f"{state}/qualified_hashes")
+        if _hdfs_exists(spark, f"{state}/bands"):
+            old_bands = spark.read.parquet(f"{state}/bands")
+    else:
+        raw = raw_all
+
+    docs = front_door(raw)
+    if extracted:
+        # Persisted because pairs + curate + stage counts all read it —
+        # the extraction kernel must run once, not per consumer.
+        docs = docs.persist()
+        id_col, text_col = "doc_id", "text"
+    else:
+        id_col, text_col = args.id_col, args.text_col
+    n_in = docs.count()          # warms the persist; also the audit row
+    if resuming and n_in == 0:
+        print(f"[{args.run_id}] nothing to process "
+              "(state manifest covers input)")
+        return
+
+    banded = None
     if args.near_dup == "minhash":
         # the scale-safe single-exchange plan becomes the default once
         # the corpus outgrows the shared-distinct shingle exchange
-        pairs = minhash_lsh_pairs(docs, id_col=args.id_col,
-                                  text_col=args.text_col,
-                                  threshold=args.threshold,
-                                  scale_shape=pick_minhash_shape(n_in))
+        scale = pick_minhash_shape(n_in)
+        if resuming:
+            # band the NEW batch only; candidates come from collisions
+            # within the batch or against the persisted index
+            banded = minhash_band_hashes(
+                docs, id_col=id_col, text_col=text_col,
+                dedup_shingles=not scale).persist()
+            all_bands = (old_bands.unionByName(banded)
+                         if old_bands is not None else banded)
+            capped = cap_megabuckets(all_bands)
+            new_ids = docs.select(F.col(id_col).alias("doc_id"))
+            capped_new = capped.join(new_ids, "doc_id", "left_semi")
+            cand = band_candidates(capped, right_banded=capped_new)
+            cand = cand.persist()
+            # verify touches candidate docs only — extraction re-runs
+            # for just those rows of the (append-only) input
+            cand_ids = (cand.select(F.col("a").alias(orig_id))
+                        .unionByName(cand.select(F.col("b").alias(orig_id)))
+                        .distinct())
+            cand_docs = front_door(
+                raw_all.join(cand_ids, orig_id, "left_semi"))
+            pairs = jaccard_for_pairs(cand_docs, cand, id_col, text_col) \
+                .filter(F.col("jaccard") >= args.threshold)
+        else:
+            pairs, banded = minhash_lsh_pairs_with_bands(
+                docs, id_col=id_col, text_col=text_col,
+                threshold=args.threshold, scale_shape=scale)
+            banded = banded.persist()
     elif args.near_dup == "simhash":
-        pairs = simhash_pairs(docs, id_col=args.id_col,
-                              text_col=args.text_col,
+        pairs = simhash_pairs(docs, id_col=id_col, text_col=text_col,
                               max_hamming=args.max_hamming)
     else:
         pairs = None
+    write_mode = "append" if resuming else "overwrite"
     if pairs is not None:
         # materialized once: pair evidence is both an output artifact
         # and the anti-join input of the kept-set below
         pairs = pairs.persist()
-        pairs.write.mode("overwrite").parquet(f"{out}/near_dup_pairs")
+        pairs.write.mode(write_mode).parquet(f"{out}/near_dup_pairs")
 
     gate_kwargs = dict(
-        id_col=args.id_col, text_col=args.text_col,
+        id_col=id_col, text_col=text_col,
         min_tokens=args.min_tokens,
         max_digit_ratio=args.max_digit_ratio,
         max_punct_ratio=args.max_punct_ratio,
@@ -130,7 +210,8 @@ def main() -> None:
         max_dup_word_frac=args.max_dup_word_frac,
         max_top_word_frac=args.max_top_word_frac,
         max_dup_bigram_frac=args.max_dup_bigram_frac)
-    kept = curate_corpus(docs, near_dup_pairs=pairs, **gate_kwargs)
+    kept = curate_corpus(docs, near_dup_pairs=pairs,
+                         seen_hashes=old_hashes, **gate_kwargs)
     if extracted:
         # curated output = original columns + the extracted main_text
         curated = raw.join(
@@ -140,11 +221,11 @@ def main() -> None:
             orig_id)
     else:
         curated = docs.join(
-            kept.select(F.col("doc_id").alias(args.id_col)),
-            args.id_col, "left_semi")
-    curated.write.mode("overwrite").parquet(f"{out}/curated")
+            kept.select(F.col("doc_id").alias(id_col)),
+            id_col, "left_semi")
+    curated.write.mode(write_mode).parquet(f"{out}/curated")
 
-    n_kept = curated.count()
+    n_kept = kept.count()
     n_pairs = pairs.count() if pairs is not None else 0
     audit = spark.createDataFrame(
         [(args.run_id, n_in, n_kept, n_pairs, args.near_dup,
@@ -159,9 +240,26 @@ def main() -> None:
     # per-stage drop accounting — second audit artifact; `kept` here
     # must (and does, by construction + tests) equal kept_docs above
     stages = curation_stage_counts(docs, near_dup_pairs=pairs,
-                                   **gate_kwargs)
+                                   seen_hashes=old_hashes, **gate_kwargs)
     (stages.withColumn("run_id", F.lit(args.run_id))
      .write.mode("append").parquet(f"{out}/stage_counts"))
+
+    # resume checkpoint — batch overwrites, increments append
+    ids_delta = raw.select(F.col(orig_id).alias("doc_id"))
+    qh_delta = qualified_hashes(docs, **gate_kwargs)
+    if resuming:
+        # Cut lineage BEFORE mutating state: these plans read
+        # state/manifest (through `raw`'s anti-join), and the first
+        # append below would invalidate their caches
+        # (CacheManager.recacheByPath) — a lazy re-evaluation would
+        # then see the just-updated manifest and write EMPTY deltas.
+        ids_delta = ids_delta.localCheckpoint()
+        qh_delta = qh_delta.localCheckpoint()
+        banded = banded.localCheckpoint() if banded is not None else None
+    ids_delta.write.mode(write_mode).parquet(f"{state}/manifest")
+    qh_delta.write.mode(write_mode).parquet(f"{state}/qualified_hashes")
+    if banded is not None:
+        banded.write.mode(write_mode).parquet(f"{state}/bands")
 
     print(f"[{args.run_id}] curated {n_kept}/{n_in} documents "
           f"({n_pairs} near-dup pairs) → {out}")

@@ -135,6 +135,31 @@ def extract_pdf_text(pages: DataFrame, pdf_col: str = "pdf",
                     .alias("text")))
 
 
+def qualified_hashes(docs: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text", min_tokens: int = 5,
+                     max_digit_ratio: float = 0.2,
+                     max_punct_ratio: float = 0.3,
+                     keep_langs: tuple[str, ...] = ("pt", "en"),
+                     max_dup_word_frac: float | None = None,
+                     max_top_word_frac: float | None = None,
+                     max_dup_bigram_frac: float | None = None) -> DataFrame:
+    """Distinct (content_hash) of gate-surviving docs — the exact-dedup
+    state a resumable curation job persists: the next increment passes
+    it as `seen_hashes` so cross-run duplicates drop without rescanning
+    old data. Gate-surviving (not kept): the within-batch dedup window
+    counts qualified docs, so batch/incremental equivalence needs every
+    qualified hash, including ones whose doc was later deduped."""
+    rep = any(x is not None for x in
+              (max_dup_word_frac, max_top_word_frac, max_dup_bigram_frac))
+    feat = _gate_features(docs, id_col, text_col, with_repetition=rep)
+    return (feat.filter(
+        _quality_pred(min_tokens, max_digit_ratio, max_punct_ratio,
+                      max_dup_word_frac, max_top_word_frac,
+                      max_dup_bigram_frac)
+        & F.col("lang_pred").isin(*keep_langs))
+        .select("content_hash").distinct())
+
+
 def curate_corpus(docs: DataFrame, near_dup_pairs: DataFrame | None = None,
                   id_col: str = "doc_id", text_col: str = "text",
                   min_tokens: int = 5, max_digit_ratio: float = 0.2,
@@ -142,7 +167,8 @@ def curate_corpus(docs: DataFrame, near_dup_pairs: DataFrame | None = None,
                   keep_langs: tuple[str, ...] = ("pt", "en"),
                   max_dup_word_frac: float | None = None,
                   max_top_word_frac: float | None = None,
-                  max_dup_bigram_frac: float | None = None) -> DataFrame:
+                  max_dup_bigram_frac: float | None = None,
+                  seen_hashes: DataFrame | None = None) -> DataFrame:
     """Returns the curated corpus as (doc_id, lang_pred, n_tokens).
 
     `near_dup_pairs`: optional (a, b, …) DataFrame with a < b; every
@@ -153,6 +179,13 @@ def curate_corpus(docs: DataFrame, near_dup_pairs: DataFrame | None = None,
     (see ``textstats.repetition_cols``); None disables a ceiling. They
     join stage 1 — same single projection, filters still push to the
     scan.
+
+    `seen_hashes`: optional (content_hash) table of gate-surviving
+    docs from PREVIOUS runs (incremental curation): a doc whose hash
+    already appears there is an exact duplicate of an earlier doc and
+    drops before the within-batch dedup window. With crawl-ordered ids
+    (new ids > old), batch-over-union and incremental runs keep the
+    same set.
     """
     rep = any(x is not None for x in
               (max_dup_word_frac, max_top_word_frac, max_dup_bigram_frac))
@@ -163,6 +196,9 @@ def curate_corpus(docs: DataFrame, near_dup_pairs: DataFrame | None = None,
                       max_dup_bigram_frac)
         & F.col("lang_pred").isin(*keep_langs)
     )
+    if seen_hashes is not None:
+        gated = gated.join(seen_hashes.select("content_hash"),
+                           "content_hash", "left_anti")
     w = Window.partitionBy("content_hash").orderBy("doc_id")
     exact_kept = (gated.withColumn("rn", F.row_number().over(w))
                   .filter(F.col("rn") == 1))
@@ -186,7 +222,8 @@ def curation_stage_counts(docs: DataFrame,
                           keep_langs: tuple[str, ...] = ("pt", "en"),
                           max_dup_word_frac: float | None = None,
                           max_top_word_frac: float | None = None,
-                          max_dup_bigram_frac: float | None = None
+                          max_dup_bigram_frac: float | None = None,
+                          seen_hashes: DataFrame | None = None
                           ) -> DataFrame:
     """Per-stage drop accounting for the curation pipeline: one row per
     stage — quality / language / exact_dup / near_dup / kept — with the
@@ -217,11 +254,23 @@ def curation_stage_counts(docs: DataFrame,
     # doc in curate_corpus's filter, so it must attribute to the gate
     # stage here too, not fall through the when-chain
     staged = feat.select(
-        "doc_id",
+        "doc_id", "content_hash",
         F.coalesce(quality_ok, F.lit(False)).alias("quality_ok"),
         F.coalesce(lang_ok, F.lit(False)).alias("lang_ok"),
         (F.sum(qualified).over(w)).alias("q_pos"),
     )
+    if seen_hashes is not None:
+        # incremental: a hash already gate-surviving in a previous run
+        # makes every qualified member of the group an exact dup.
+        # distinct: appended state may carry a hash twice; a plain
+        # left join would then fan staged rows out
+        staged = staged.join(
+            seen_hashes.select("content_hash").distinct()
+            .withColumn("seen_before", F.lit(True)),
+            "content_hash", "left")
+    else:
+        staged = staged.withColumn("seen_before",
+                                   F.lit(None).cast("boolean"))
     if near_dup_pairs is not None:
         drop = (near_dup_pairs.select(F.col("b").alias("doc_id"))
                 .distinct().withColumn("near_dropped", F.lit(True)))
@@ -231,7 +280,8 @@ def curation_stage_counts(docs: DataFrame,
     stage = (
         F.when(~F.col("quality_ok"), "quality")
         .when(~F.col("lang_ok"), "language")
-        .when(F.col("q_pos") > 1, "exact_dup")
+        .when((F.col("q_pos") > 1)
+              | F.coalesce("seen_before", F.lit(False)), "exact_dup")
         .when(F.coalesce("near_dropped", F.lit(False)), "near_dup")
         .otherwise("kept")
     )

@@ -118,6 +118,57 @@ def pick_minhash_shape(n_docs: int) -> bool:
     return n_docs > SCALE_SHAPE_MIN_DOCS
 
 
+def minhash_band_hashes(docs: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", k: int = 5,
+                        n_perm: int = 64, bands: int = 16,
+                        seed: int = 42,
+                        dedup_shingles: bool = True) -> DataFrame:
+    """(doc_id, band_idx, band_hash) — the banded LSH index rows for
+    each document. This is the state a resumable curation job persists
+    between runs: an increment computes band hashes for NEW docs only
+    and joins them against the stored index, so near-dup work scales
+    with the increment, not the corpus."""
+    rows = n_perm // bands
+    sig = minhash_signatures(docs, id_col, text_col, k, n_perm, seed,
+                             dedup_shingles=dedup_shingles)
+    band_cols = [
+        F.struct(F.lit(bi).alias("band_idx"),
+                 F.xxhash64(*[f"mh_{bi * rows + r}" for r in range(rows)])
+                 .alias("band_hash"))
+        for bi in range(bands)
+    ]
+    return (sig.select("doc_id", F.explode(F.array(*band_cols)).alias("b"))
+            .select("doc_id", "b.band_idx", "b.band_hash"))
+
+
+def cap_megabuckets(banded: DataFrame, max_bucket: int = 1000) -> DataFrame:
+    """Megabucket guard: identical boilerplate can put millions of docs
+    in one bucket → quadratic pair blowup; cap like production
+    pipelines."""
+    bucket_sizes = banded.groupBy("band_idx", "band_hash").count()
+    return banded.join(
+        bucket_sizes.filter(F.col("count") <= max_bucket)
+        .select("band_idx", "band_hash"),
+        ["band_idx", "band_hash"], "left_semi")
+
+
+def band_candidates(banded: DataFrame,
+                    right_banded: DataFrame | None = None) -> DataFrame:
+    """Distinct (a, b) candidate pairs colliding in some band, a < b.
+    With `right_banded`, pairs are restricted to one side from each
+    input (the incremental old-index × new-batch join)."""
+    left = banded.alias("l")
+    right = (banded if right_banded is None else right_banded).alias("r")
+    return (
+        left.join(right,
+                  (F.col("l.band_idx") == F.col("r.band_idx"))
+                  & (F.col("l.band_hash") == F.col("r.band_hash"))
+                  & (F.col("l.doc_id") < F.col("r.doc_id")))
+        .select(F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b"))
+        .distinct()
+    )
+
+
 def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
                       text_col: str = "text", k: int = 5, n_perm: int = 64,
                       bands: int = 16, threshold: float = 0.8,
@@ -146,35 +197,26 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
     `scale_shape=pick_minhash_shape(n_docs)` (jobs_curate.py does) so
     the scale-safe plan is the default above SCALE_SHAPE_MIN_DOCS.
     """
-    rows = n_perm // bands
-    sig = minhash_signatures(docs, id_col, text_col, k, n_perm, seed,
-                             dedup_shingles=not scale_shape)
-    band_cols = [
-        F.struct(F.lit(bi).alias("band_idx"),
-                 F.xxhash64(*[f"mh_{bi * rows + r}" for r in range(rows)])
-                 .alias("band_hash"))
-        for bi in range(bands)
-    ]
-    banded = sig.select("doc_id", F.explode(F.array(*band_cols)).alias("b")) \
-                .select("doc_id", "b.band_idx", "b.band_hash")
-    # megabucket guard: identical boilerplate can put millions of docs in
-    # one bucket → quadratic pair blowup; cap like production pipelines
-    bucket_sizes = banded.groupBy("band_idx", "band_hash").count()
-    banded = banded.join(
-        bucket_sizes.filter(F.col("count") <= max_bucket)
-        .select("band_idx", "band_hash"),
-        ["band_idx", "band_hash"], "left_semi")
+    pairs, _ = minhash_lsh_pairs_with_bands(
+        docs, id_col, text_col, k, n_perm, bands, threshold, seed,
+        max_bucket, scale_shape)
+    return pairs
 
-    left = banded.alias("l")
-    right = banded.alias("r")
-    cand = (
-        left.join(right,
-                  (F.col("l.band_idx") == F.col("r.band_idx"))
-                  & (F.col("l.band_hash") == F.col("r.band_hash"))
-                  & (F.col("l.doc_id") < F.col("r.doc_id")))
-        .select(F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b"))
-        .distinct()
-    )
+
+def minhash_lsh_pairs_with_bands(
+        docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+        k: int = 5, n_perm: int = 64, bands: int = 16,
+        threshold: float = 0.8, seed: int = 42, max_bucket: int = 1000,
+        scale_shape: bool = False) -> tuple[DataFrame, DataFrame]:
+    """`minhash_lsh_pairs` that also returns the uncapped band table —
+    the LSH index rows a resumable job persists as state so the next
+    increment joins new docs against them instead of re-banding the
+    corpus."""
+    banded = minhash_band_hashes(docs, id_col, text_col, k, n_perm,
+                                 bands, seed,
+                                 dedup_shingles=not scale_shape)
+    capped = cap_megabuckets(banded, max_bucket)
+    cand = band_candidates(capped)
     verify_docs = docs
     if scale_shape:
         cand_ids = (cand.select(F.col("a").alias(id_col))
@@ -182,7 +224,7 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
                     .distinct())
         verify_docs = docs.join(cand_ids, id_col, "left_semi")
     jac = jaccard_for_pairs(verify_docs, cand, id_col, text_col, k)
-    return jac.filter(F.col("jaccard") >= threshold)
+    return jac.filter(F.col("jaccard") >= threshold), banded
 
 
 def jaccard_for_pairs(docs: DataFrame, pairs: DataFrame,
