@@ -170,7 +170,10 @@ def main() -> None:
                 dedup_shingles=not scale).persist()
             all_bands = (old_bands.unionByName(banded)
                          if old_bands is not None else banded)
-            capped = cap_megabuckets(all_bands)
+            # restrict the index to buckets the new batch touches —
+            # untouched buckets cannot yield new candidates, and this
+            # keeps the cap stage proportional to the increment
+            capped = cap_megabuckets(all_bands, touching=banded)
             new_ids = docs.select(F.col(id_col).alias("doc_id"))
             capped_new = capped.join(new_ids, "doc_id", "left_semi")
             cand = band_candidates(capped, right_banded=capped_new)

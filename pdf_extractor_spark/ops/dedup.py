@@ -141,10 +141,25 @@ def minhash_band_hashes(docs: DataFrame, id_col: str = "doc_id",
             .select("doc_id", "b.band_idx", "b.band_hash"))
 
 
-def cap_megabuckets(banded: DataFrame, max_bucket: int = 1000) -> DataFrame:
+def cap_megabuckets(banded: DataFrame, max_bucket: int = 1000,
+                    touching: DataFrame | None = None) -> DataFrame:
     """Megabucket guard: identical boilerplate can put millions of docs
     in one bucket → quadratic pair blowup; cap like production
-    pipelines."""
+    pipelines.
+
+    `touching` (incremental runs): restrict to buckets that contain at
+    least one row of `touching` BEFORE counting. An increment only
+    cares about buckets its new batch collides into — every other
+    bucket of the persisted index can produce no new candidate — so
+    this keeps the cap stage's group-count proportional to the
+    increment's bucket footprint instead of the whole corpus index.
+    Bucket counts are unchanged for surviving buckets (the semi-join
+    keeps every member of a touched bucket), so results are identical
+    to capping the full index and then restricting."""
+    if touching is not None:
+        banded = banded.join(
+            touching.select("band_idx", "band_hash").distinct(),
+            ["band_idx", "band_hash"], "left_semi")
     bucket_sizes = banded.groupBy("band_idx", "band_hash").count()
     return banded.join(
         bucket_sizes.filter(F.col("count") <= max_bucket)

@@ -29,7 +29,8 @@ def _incremental_pairs(docs_all, docs_new, threshold=0.8):
     old_bands = minhash_band_hashes(
         docs_all.filter(F.col("doc_id") < SPLIT))   # "persisted" state
     new_bands = minhash_band_hashes(docs_new)
-    capped = cap_megabuckets(old_bands.unionByName(new_bands))
+    capped = cap_megabuckets(old_bands.unionByName(new_bands),
+                             touching=new_bands)
     capped_new = capped.join(docs_new.select("doc_id"),
                              "doc_id", "left_semi")
     cand = band_candidates(capped, right_banded=capped_new)
