@@ -21,6 +21,11 @@ Outputs under --out:
   state/           resume checkpoint: manifest/ (processed ids),
                    qualified_hashes/ (gate-surviving content hashes),
                    bands/ (the MinHash-LSH band index)
+  extracted/       (front-door modes) the per-run extracted (doc_id,
+                   text) table, partitioned by run_id — the artifact
+                   every downstream stage scans, and the store the
+                   incremental Jaccard verify reads instead of
+                   re-parsing html/pdf
 
 Optional Gopher-style repetition ceilings (--max-dup-word-frac /
 --max-top-word-frac / --max-dup-bigram-frac) join the quality gate.
@@ -132,11 +137,16 @@ def main() -> None:
         return df
 
     resuming = args.resume and _hdfs_exists(spark, f"{state}/manifest")
+    write_mode = "append" if resuming else "overwrite"
     old_hashes = old_bands = None
     if resuming:
         manifest = spark.read.parquet(f"{state}/manifest")
         raw = raw_all.join(manifest.select(F.col("doc_id").alias(orig_id)),
                            orig_id, "left_anti").persist()
+        if raw.limit(1).count() == 0:
+            print(f"[{args.run_id}] nothing to process "
+                  "(state manifest covers input)")
+            return
         old_hashes = spark.read.parquet(f"{state}/qualified_hashes")
         if _hdfs_exists(spark, f"{state}/bands"):
             old_bands = spark.read.parquet(f"{state}/bands")
@@ -145,17 +155,25 @@ def main() -> None:
 
     docs = front_door(raw)
     if extracted:
-        # Persisted because pairs + curate + stage counts all read it —
-        # the extraction kernel must run once, not per consumer.
-        docs = docs.persist()
+        # Materialize the extraction ONCE to a parquet artifact and
+        # feed every downstream stage from that scan. Two reasons:
+        # (1) pairs + curate + stage counts all read it — the kernel
+        # must run once, not per consumer; (2) the dedup stage's
+        # signature and verify subtrees only share a ReusedExchange
+        # (and the vectorized columnar reader) over a common FileScan —
+        # an in-memory cache gives them neither (measured 3× slower at
+        # 1M docs). run_id partitioning makes increments append a new
+        # directory while batch runs overwrite the table.
+        (docs.withColumn("run_id", F.lit(args.run_id))
+         .write.partitionBy("run_id").mode(write_mode)
+         .parquet(f"{out}/extracted"))
+        docs = (spark.read.parquet(f"{out}/extracted")
+                .filter(F.col("run_id") == args.run_id)
+                .select("doc_id", "text"))
         id_col, text_col = "doc_id", "text"
     else:
         id_col, text_col = args.id_col, args.text_col
-    n_in = docs.count()          # warms the persist; also the audit row
-    if resuming and n_in == 0:
-        print(f"[{args.run_id}] nothing to process "
-              "(state manifest covers input)")
-        return
+    n_in = docs.count()          # also the audit row
 
     banded = None
     if args.near_dup == "minhash":
@@ -178,13 +196,22 @@ def main() -> None:
             capped_new = capped.join(new_ids, "doc_id", "left_semi")
             cand = band_candidates(capped, right_banded=capped_new)
             cand = cand.persist()
-            # verify touches candidate docs only — extraction re-runs
-            # for just those rows of the (append-only) input
+            # verify touches candidate docs only. With a front door the
+            # candidates' extracted text is already on disk (this run's
+            # partition + prior runs' — input is append-only and every
+            # doc is extracted exactly once), so read it back instead
+            # of re-parsing html/pdf for the old side.
             cand_ids = (cand.select(F.col("a").alias(orig_id))
                         .unionByName(cand.select(F.col("b").alias(orig_id)))
                         .distinct())
-            cand_docs = front_door(
-                raw_all.join(cand_ids, orig_id, "left_semi"))
+            if extracted:
+                cand_docs = (spark.read.parquet(f"{out}/extracted")
+                             .select("doc_id", "text")
+                             .join(cand_ids.select(
+                                 F.col(orig_id).alias("doc_id")),
+                                 "doc_id", "left_semi"))
+            else:
+                cand_docs = raw_all.join(cand_ids, orig_id, "left_semi")
             pairs = jaccard_for_pairs(cand_docs, cand, id_col, text_col) \
                 .filter(F.col("jaccard") >= args.threshold)
         else:
@@ -197,7 +224,6 @@ def main() -> None:
                               max_hamming=args.max_hamming)
     else:
         pairs = None
-    write_mode = "append" if resuming else "overwrite"
     if pairs is not None:
         # materialized once: pair evidence is both an output artifact
         # and the anti-join input of the kept-set below
