@@ -559,12 +559,14 @@ def gen_pdf_bytes(doc_id: int, text: str) -> bytes:
     A per-doc hash switches the low-level representation — FlateDecode
     compression, TJ kerning arrays vs plain Tj, hex vs literal strings
     (with escapes), Tm-per-line vs Td/TL/T* positioning, single vs
-    split /Contents streams, and a /Differences-bearing encoding dict —
-    so a parser must implement the actual object-stream grammar (xref
-    byte offsets, stream /Length resolution, filters, string escape
-    rules, text-state operators), not match a fixed template. The
-    EXTRACTED TEXT is invariant under every variant: that invariance is
-    the correctness oracle."""
+    split /Contents streams, a /Differences-bearing encoding dict, and
+    a PDF-1.5 layout (binary xref stream + /ObjStm-packed plain
+    objects, PNG-predictor-coded when compressing) — so a parser must
+    implement the actual object-stream grammar (xref byte offsets,
+    stream /Length resolution, filters, string escape rules,
+    text-state operators), not match a fixed template. The EXTRACTED
+    TEXT is invariant under every variant: that invariance is the
+    correctness oracle."""
     import zlib
 
     h = _h(0, doc_id, "pdfvar")
@@ -579,6 +581,11 @@ def gen_pdf_bytes(doc_id: int, text: str) -> bytes:
     hex_alt = h % 4 == 0
     split_streams = h % 5 == 0
     tm_pos = h % 7 == 0
+    # PDF-1.5 layout: non-stream objects packed into a compressed
+    # object stream (/ObjStm), cross-reference as a binary xref STREAM
+    # (W-array rows, FlateDecode, PNG Up predictor when compressing) —
+    # the layout virtually all modern / Common-Crawl PDFs use
+    xref_stream = h % 13 == 0
     # the /Differences dict redefines bytes 164/183 (¤/·) as
     # Euro/bullet — a text containing the displaced characters cannot
     # use it (cp1252 would emit those bytes with their old meaning)
@@ -653,6 +660,9 @@ def gen_pdf_bytes(doc_id: int, text: str) -> bytes:
     objs[3] = (b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica"
                b" /Encoding " + font_enc + b" >>")
 
+    if xref_stream:
+        return _assemble_pdf15(objs, next_num, compress)
+
     out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
     offsets: dict[int, int] = {}
     for num in sorted(objs):
@@ -665,6 +675,73 @@ def gen_pdf_bytes(doc_id: int, text: str) -> bytes:
         out += b"%010d 00000 n \n" % offsets[num]
     out += (b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
             % (maxn + 1, xref_off))
+    return bytes(out)
+
+
+def _assemble_pdf15(objs: dict[int, bytes], next_num: int,
+                    compress: bool) -> bytes:
+    """PDF-1.5 assembly: plain (non-stream) objects live inside one
+    compressed object stream; the cross reference is a binary xref
+    stream (W [1 4 2] rows; FlateDecode; PNG Up predictor when
+    `compress`). Stream-bearing objects stay top-level, as §7.5.7
+    requires."""
+    import zlib
+
+    plain = [n for n in sorted(objs) if b"\nstream\n" not in objs[n]]
+    strm = [n for n in sorted(objs) if n not in set(plain)]
+    objstm_num, xref_num = next_num, next_num + 1
+
+    body = bytearray()
+    pair_offs: list[tuple[int, int]] = []
+    for n in plain:
+        pair_offs.append((n, len(body)))
+        body += objs[n] + b"\n"
+    header = b" ".join(b"%d %d" % p for p in pair_offs) + b"\n"
+    payload = header + bytes(body)
+    pdata = zlib.compress(payload) if compress else payload
+    pfilt = b" /Filter /FlateDecode" if compress else b""
+    objstm = (b"<< /Type /ObjStm /N %d /First %d /Length %d%s >>"
+              b"\nstream\n" % (len(plain), len(header), len(pdata), pfilt)
+              + pdata + b"\nendstream")
+
+    out = bytearray(b"%PDF-1.5\n%\xe2\xe3\xcf\xd3\n")
+    offsets: dict[int, int] = {}
+    for num in strm + [objstm_num]:
+        offsets[num] = len(out)
+        data = objs[num] if num != objstm_num else objstm
+        out += b"%d 0 obj\n" % num + data + b"\nendobj\n"
+    xref_off = len(out)
+    offsets[xref_num] = xref_off
+
+    maxn = xref_num
+    plain_idx = {n: i for i, n in enumerate(plain)}
+    rows = bytearray()
+    for num in range(maxn + 1):
+        if num == 0:
+            t, f2, f3 = 0, 0, 65535
+        elif num in plain_idx:
+            t, f2, f3 = 2, objstm_num, plain_idx[num]
+        else:
+            t, f2, f3 = 1, offsets[num], 0
+        rows += bytes([t]) + f2.to_bytes(4, "big") + f3.to_bytes(2, "big")
+    if compress:                       # PNG Up predictor, columns = 7
+        enc = bytearray()
+        prev = bytes(7)
+        for r in range(0, len(rows), 7):
+            row = rows[r:r + 7]
+            enc += b"\x02" + bytes((row[i] - prev[i]) & 0xFF
+                                   for i in range(7))
+            prev = row
+        xdata = zlib.compress(bytes(enc))
+        parms = b" /DecodeParms << /Predictor 12 /Columns 7 >>"
+    else:
+        xdata = zlib.compress(bytes(rows))
+        parms = b""
+    out += (b"%d 0 obj\n<< /Type /XRef /Size %d /W [1 4 2] /Root 1 0 R"
+            b" /Filter /FlateDecode%s /Length %d >>\nstream\n"
+            % (xref_num, maxn + 1, parms, len(xdata)))
+    out += xdata + b"\nendstream\nendobj\n"
+    out += b"startxref\n%d\n%%%%EOF\n" % xref_off
     return bytes(out)
 
 

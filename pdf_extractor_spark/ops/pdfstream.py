@@ -19,16 +19,20 @@ Split of labor (same scale contract as `ops/boilerplate.py`):
   is embarrassingly parallel and AQE/salting handles size skew
   exactly as for the WBX2 kernel.
 
-Grammar coverage (PDF 32000-1): header + xref table + trailer +
-startxref; dictionaries, arrays, names (with #xx escapes), numbers,
-literal strings (escape sequences, nested parens, octal, line
-continuations), hex strings, indirect references, booleans/null;
+Grammar coverage (PDF 32000-1): header + classic xref tables AND
+PDF-1.5 cross-reference streams (§7.5.8: /W-packed binary rows,
+/Index subsections, FlateDecode with PNG predictors, /Prev chains,
+type-2 entries into compressed /ObjStm object streams §7.5.7) +
+trailer + startxref; dictionaries, arrays, names (with #xx escapes),
+numbers, literal strings (escape sequences, nested parens, octal,
+line continuations), hex strings, indirect references, booleans/null;
 streams with direct or indirect /Length and /FlateDecode; the page
 tree (nested /Kids); /Contents as a single stream or an array
 (concatenated before tokenization); text operators BT ET Tf Td TD TL
 Tm T* Tj TJ ' "; font /Encoding as a name or a dictionary with
-/BaseEncoding + /Differences. Broken xref tables degrade to a
-brute-force object scan rather than failing the document.
+/BaseEncoding + /Differences. Broken xrefs degrade to a brute-force
+object scan (which also opens /ObjStm containers) rather than
+failing the document.
 """
 
 from __future__ import annotations
@@ -253,16 +257,57 @@ def _glyph_to_unicode(name: str) -> str | None:
     return None
 
 
+def _png_unpredict(data: bytes, columns: int) -> bytes:
+    """Reverse PNG row predictors (PDF 32000-1 §7.4.4.4, /Predictor
+    ≥ 10): each row is one tag byte then `columns` bytes; colors=1,
+    bpc=8 as xref streams use."""
+    out = bytearray()
+    prev = bytearray(columns)
+    row_w = columns + 1
+    for r in range(0, len(data) - row_w + 1, row_w):
+        tag = data[r]
+        row = bytearray(data[r + 1:r + row_w])
+        if tag == 1:                              # Sub
+            for i in range(1, columns):
+                row[i] = (row[i] + row[i - 1]) & 0xFF
+        elif tag == 2:                            # Up
+            for i in range(columns):
+                row[i] = (row[i] + prev[i]) & 0xFF
+        elif tag == 3:                            # Average
+            for i in range(columns):
+                left = row[i - 1] if i else 0
+                row[i] = (row[i] + (left + prev[i]) // 2) & 0xFF
+        elif tag == 4:                            # Paeth
+            for i in range(columns):
+                a = row[i - 1] if i else 0
+                b, c = prev[i], (prev[i - 1] if i else 0)
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                row[i] = (row[i] + pr) & 0xFF
+        # tag 0 (None) and unknown tags: raw row
+        out += row
+        prev = row
+    return bytes(out)
+
+
 class _Doc:
     """Parsed object graph of one PDF byte string."""
 
     def __init__(self, buf: bytes) -> None:
         self.buf = buf
         self.cache: dict[int, object] = {}
+        self.compressed: dict[int, tuple[int, int]] = {}
+        self._objstm_cache: dict[int, dict[int, object]] = {}
         self.offsets, self.trailer = self._load_xref()
 
     # -- xref -------------------------------------------------------------
     def _load_xref(self) -> tuple[dict[int, int], dict]:
+        """startxref → chain of xref sections (classic tables or PDF-1.5
+        cross-reference streams, newest first via /Prev); first
+        definition of an object number wins, as incremental updates
+        require. Any structural failure degrades to the brute-force
+        object scan."""
         buf = self.buf
         try:
             m = None
@@ -271,62 +316,183 @@ class _Doc:
                 pass
             if m is None:
                 raise ValueError("no startxref")
-            off = int(m.group(1))
-            i = _skip_ws(buf, off)
-            if not buf.startswith(b"xref", i):
-                raise ValueError("bad xref offset")
-            i = _skip_ws(buf, i + 4)
+            off: int | None = int(m.group(1))
             offsets: dict[int, int] = {}
-            while True:
-                ms = _XREF_SUB_RE.match(buf, i)
-                if not ms:
-                    break
-                start, count = int(ms.group(1)), int(ms.group(2))
-                i = ms.end()
-                for k in range(count):
-                    me = _XREF_ENT_RE.match(buf, i)
-                    if not me:
-                        raise ValueError("bad xref entry")
-                    if me.group(3) == b"n":
-                        offsets[start + k] = int(me.group(1))
-                    i = me.end()
-            i = _skip_ws(buf, i)
-            if not buf.startswith(b"trailer", i):
-                raise ValueError("no trailer")
-            trailer, _ = _parse_value(buf, i + 7)
-            # validate: every offset must actually start "N G obj"
+            trailer: dict = {}
+            seen: set[int] = set()
+            while off is not None and off not in seen:
+                seen.add(off)
+                i = _skip_ws(buf, off)
+                if buf.startswith(b"xref", i):
+                    tdict, off = self._xref_classic(i, offsets)
+                else:
+                    tdict, off = self._xref_stream(i, offsets)
+                if not trailer:
+                    trailer = tdict
+            # validate: every direct offset must actually start "N G obj"
             for num, o in offsets.items():
                 mo = _OBJ_RE.match(buf, _skip_ws(buf, o))
                 if not mo or int(mo.group(1)) != num:
                     raise ValueError("xref offset mismatch")
+            if not trailer:
+                raise ValueError("no trailer")
             return offsets, trailer
-        except (ValueError, KeyError):
+        except (ValueError, KeyError, OverflowError, zlib.error):
+            self.compressed = {}
             return self._scan_fallback()
+
+    def _xref_classic(self, i: int, offsets: dict[int, int]
+                      ) -> tuple[dict, int | None]:
+        buf = self.buf
+        i = _skip_ws(buf, i + 4)
+        while True:
+            ms = _XREF_SUB_RE.match(buf, i)
+            if not ms:
+                break
+            start, count = int(ms.group(1)), int(ms.group(2))
+            i = ms.end()
+            for k in range(count):
+                me = _XREF_ENT_RE.match(buf, i)
+                if not me:
+                    raise ValueError("bad xref entry")
+                num = start + k
+                if (me.group(3) == b"n" and num not in offsets
+                        and num not in self.compressed):
+                    offsets[num] = int(me.group(1))
+                i = me.end()
+        i = _skip_ws(buf, i)
+        if not buf.startswith(b"trailer", i):
+            raise ValueError("no trailer")
+        trailer, _ = _parse_value(buf, i + 7)
+        prev = trailer.get("Prev")
+        return trailer, int(prev) if isinstance(prev, (int, float)) else None
+
+    def _xref_stream(self, i: int, offsets: dict[int, int]
+                     ) -> tuple[dict, int | None]:
+        """PDF-1.5 cross-reference stream (§7.5.8): a stream object of
+        packed binary rows — /W field widths, /Index subsections,
+        FlateDecode (+ optional PNG /Predictor). Type-1 rows are byte
+        offsets; type-2 rows point into a compressed object stream."""
+        buf = self.buf
+        m = _OBJ_RE.match(buf, i)
+        if not m:
+            raise ValueError("bad xref offset")
+        d, j = _parse_value(buf, m.end())
+        if not isinstance(d, dict) or str(d.get("Type", "")) != "XRef":
+            raise ValueError("not an xref stream")
+        j = _skip_ws(buf, j)
+        if not buf.startswith(b"stream", j):
+            raise ValueError("xref stream missing data")
+        j += 6
+        if buf.startswith(b"\r\n", j):
+            j += 2
+        elif buf[j:j + 1] in (b"\n", b"\r"):
+            j += 1
+        length = d.get("Length")
+        if isinstance(length, int):
+            raw = buf[j:j + length]
+        else:                       # /Length must be direct here; degrade
+            end = buf.find(b"endstream", j)
+            raw = buf[j:end] if end >= 0 else b""
+        filters = d.get("Filter")
+        for f in (filters if isinstance(filters, list)
+                  else [filters] if filters is not None else []):
+            if str(f) == "FlateDecode":
+                raw = zlib.decompress(raw)
+        parms = d.get("DecodeParms")
+        if isinstance(parms, list):
+            parms = next((p for p in parms if isinstance(p, dict)), {})
+        if not isinstance(parms, dict):
+            parms = {}
+        pred = parms.get("Predictor", 1)
+        if isinstance(pred, (int, float)) and pred >= 10:
+            raw = _png_unpredict(raw, int(parms.get("Columns", 1)))
+        w = [int(x) for x in d.get("W", []) if isinstance(x, (int, float))]
+        if len(w) != 3:
+            raise ValueError("bad /W")
+        size = int(d.get("Size", 0))
+        index = d.get("Index") or [0, size]
+        ew = sum(w)
+        pos = 0
+        for t in range(0, len(index) - 1, 2):
+            start, count = int(index[t]), int(index[t + 1])
+            for num in range(start, start + count):
+                if pos + ew > len(raw):
+                    break
+                e = raw[pos:pos + ew]
+                pos += ew
+                f1 = int.from_bytes(e[:w[0]], "big") if w[0] else 1
+                f2 = int.from_bytes(e[w[0]:w[0] + w[1]], "big")
+                f3 = int.from_bytes(e[w[0] + w[1]:], "big")
+                if num in offsets or num in self.compressed:
+                    continue
+                if f1 == 1:
+                    offsets[num] = f2
+                elif f1 == 2:
+                    self.compressed[num] = (f2, f3)
+                # f1 == 0: free entry
+        prev = d.get("Prev")
+        return d, int(prev) if isinstance(prev, (int, float)) else None
 
     def _scan_fallback(self) -> tuple[dict[int, int], dict]:
         """Corrupt/missing xref: brute-force scan for object headers
         (last definition of a number wins, as incremental updates
-        would) and find the catalog by content."""
+        would), surface any objects hidden inside /ObjStm containers,
+        and find the catalog by content."""
         offsets: dict[int, int] = {}
         for m in _OBJ_RE.finditer(self.buf):
             offsets[int(m.group(1))] = m.start()
         # obj()/resolve() (e.g. for an indirect /Length) need the map
         # in place before any candidate parse below
         self.offsets = offsets
-        trailer: dict = {}
-        for num in offsets:
+        # register compressed objects so obj() can reach them even with
+        # no xref stream to say where they live (top-level wins)
+        for num in list(offsets):
             try:
                 v = self._parse_obj(num, offsets)
-            except (ValueError, KeyError):
+            except (ValueError, KeyError, zlib.error):
+                continue
+            d = v[0] if isinstance(v, tuple) else v
+            if not (isinstance(d, dict)
+                    and str(d.get("Type", "")) == "ObjStm"):
+                continue
+            try:
+                data = self.stream_data(v)
+                n = self.resolve(d.get("N"))
+                if not isinstance(n, int):
+                    continue
+                i = 0
+                nums: list[int] = []
+                for _ in range(2 * n):
+                    i = _skip_ws(data, i)
+                    mh = _NUM_RE.match(data, i)
+                    if not mh:
+                        break
+                    nums.append(int(mh.group()))
+                    i = mh.end()
+                for k in range(len(nums) // 2):
+                    onum = nums[2 * k]
+                    if onum not in offsets:
+                        self.compressed.setdefault(onum, (num, k))
+            except (ValueError, KeyError, zlib.error):
+                continue
+        trailer: dict = {}
+        for num in (*offsets, *self.compressed):
+            try:
+                v = self.obj(num)
+            except (ValueError, KeyError, zlib.error):
                 continue
             d = v[0] if isinstance(v, tuple) else v
             if isinstance(d, dict) and str(d.get("Type", "")) == "Catalog":
-                trailer = {"Root": _Ref(num), "Size": len(offsets) + 1}
+                trailer = {"Root": _Ref(num),
+                           "Size": len(offsets) + len(self.compressed) + 1}
                 break
         return offsets, trailer
 
     # -- objects ----------------------------------------------------------
     def _parse_obj(self, num: int, offsets: dict[int, int] | None = None):
+        if offsets is None and num in self.compressed:
+            return self._parse_in_objstm(num)
         buf = self.buf
         offs = self.offsets if offsets is None else offsets
         i = _skip_ws(buf, offs[num])
@@ -348,6 +514,42 @@ class _Doc:
             raw = buf[i:i + length]
             return (val, raw)
         return val
+
+    def _parse_in_objstm(self, num: int):
+        """Object living inside a compressed object stream (/ObjStm,
+        §7.5.7): the stream's data starts with /N (objnum, offset)
+        integer pairs; object k's value is parsed at /First + offset
+        (no 'N G obj' header). The whole container is parsed once and
+        cached."""
+        stm_num, _idx = self.compressed[num]
+        if stm_num in self.compressed:      # containers must be direct
+            raise ValueError("nested object stream")
+        objs = self._objstm_cache.get(stm_num)
+        if objs is None:
+            container = self.obj(stm_num)
+            d = container[0] if isinstance(container, tuple) else None
+            if not isinstance(d, dict):
+                raise ValueError("bad object stream container")
+            data = self.stream_data(container)
+            n = self.resolve(d.get("N"))
+            first = self.resolve(d.get("First"))
+            if not isinstance(n, int) or not isinstance(first, int):
+                raise ValueError("bad /N or /First")
+            nums: list[int] = []
+            i = 0
+            for _ in range(2 * n):
+                i = _skip_ws(data, i)
+                m = _NUM_RE.match(data, i)
+                if not m:
+                    raise ValueError("bad objstm header")
+                nums.append(int(m.group()))
+                i = m.end()
+            objs = {}
+            for k in range(n):
+                v, _ = _parse_value(data, first + nums[2 * k + 1])
+                objs[nums[2 * k]] = v
+            self._objstm_cache[stm_num] = objs
+        return objs[num]
 
     def obj(self, num: int):
         if num not in self.cache:

@@ -89,6 +89,58 @@ def test_garbage_and_empty_inputs():
     assert len(bad) == 1 and bad[0]["decode_failures"] == 1
 
 
+def _pdf15_doc_ids(want_compress: bool, n: int = 2) -> list[int]:
+    """doc_ids whose per-doc hash selects the PDF-1.5 layout, split by
+    the compress flag (predictor-coded xref stream vs plain rows)."""
+    from pdf_extractor_spark.datagen import _h
+
+    out = []
+    for doc_id in range(3000):
+        h = _h(0, doc_id, "pdfvar")
+        if h % 13 == 0 and (h % 2 == 0) == want_compress:
+            out.append(doc_id)
+            if len(out) == n:
+                break
+    return out
+
+
+def test_pdf15_xref_stream_roundtrip():
+    """PDF-1.5 layout (xref STREAM + /ObjStm-packed plain objects):
+    both the predictor-coded and plain-row xref variants parse to the
+    same extracted text, via the real type-2 entries, not the
+    brute-force fallback."""
+    from pdf_extractor_spark.ops.pdfstream import _Doc
+
+    for want_compress in (True, False):
+        ids = _pdf15_doc_ids(want_compress)
+        assert ids, "datagen never selected the 1.5 layout"
+        for doc_id in ids:
+            text = doc_row(42, doc_id)["text"]
+            pdf = gen_pdf_bytes(doc_id, text)
+            assert pdf.startswith(b"%PDF-1.5")
+            assert b"/Type /XRef" in pdf and b"/ObjStm" in pdf
+            assert b"trailer" not in pdf
+            d = _Doc(pdf)
+            # the xref stream really resolved: compressed (type-2)
+            # entries exist and include the catalog
+            assert d.compressed
+            root = d.trailer.get("Root")
+            assert root is not None and root.num in d.compressed
+            _assert_roundtrip(doc_id, text)
+
+
+def test_pdf15_broken_xref_recovers_objstm_objects():
+    """Corrupting startxref on a 1.5 file forces the brute-force scan,
+    which must open /ObjStm containers to find the catalog (it is not
+    a top-level object in this layout)."""
+    doc_id = _pdf15_doc_ids(True, 1)[0]
+    text = doc_row(42, doc_id)["text"]
+    pdf = gen_pdf_bytes(doc_id, text)
+    corrupt = re.sub(rb"startxref\n\d+", b"startxref\n999999", pdf)
+    assert [p["text"] for p in parse_pdf_doc(corrupt)] \
+        == _expected_pages(text)
+
+
 def _minimal_pdf(objs: dict[int, bytes]) -> bytes:
     out = bytearray(b"%PDF-1.4\n")
     offs = {}
