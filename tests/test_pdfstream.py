@@ -129,6 +129,31 @@ def test_pdf15_xref_stream_roundtrip():
             _assert_roundtrip(doc_id, text)
 
 
+def test_incremental_update_prev_chain():
+    """A PDF with an appended incremental update: the new xref section
+    points at the old one via /Prev; the NEWEST definition of an
+    object wins (here: page content replaced by the update)."""
+    base = _minimal_pdf({
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Count 1 /Kids [3 0 R] >>",
+        3: b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>",
+        4: (b"<< /Length 38 >>\nstream\n"
+            b"BT /F1 11 Tf 72 720 Td (old) Tj ET\nendstream"),
+    })
+    old_xref = int(re.search(rb"startxref\n(\d+)", base).group(1))
+    out = bytearray(base)
+    new4 = len(out)
+    body = b"BT /F1 11 Tf 72 720 Td (new) Tj ET"
+    out += (b"4 0 obj\n<< /Length %d >>\nstream\n" % len(body)
+            + body + b"\nendstream\nendobj\n")
+    xo = len(out)
+    out += (b"xref\n4 1\n%010d 00000 n \ntrailer\n"
+            b"<< /Size 5 /Root 1 0 R /Prev %d >>\nstartxref\n%d\n%%%%EOF\n"
+            % (new4, old_xref, xo))
+    parsed = parse_pdf_doc(bytes(out))
+    assert [p["text"] for p in parsed] == ["new"]
+
+
 def test_pdf15_broken_xref_recovers_objstm_objects():
     """Corrupting startxref on a 1.5 file forces the brute-force scan,
     which must open /ObjStm containers to find the catalog (it is not
