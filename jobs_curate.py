@@ -22,10 +22,15 @@ Outputs under --out:
                    qualified_hashes/ (gate-surviving content hashes),
                    bands/ (the MinHash-LSH band index)
   extracted/       (front-door modes) the per-run extracted (doc_id,
-                   text) table, partitioned by run_id — the artifact
-                   every downstream stage scans, and the store the
+                   text, extraction metrics, partition_id) table,
+                   partitioned by run_id — the artifact every
+                   downstream stage scans, and the store the
                    incremental Jaccard verify reads instead of
                    re-parsing html/pdf
+  extract_audit/   (front-door modes) per-partition extraction lineage
+                   + metrics per run: docs and node/kept/span counts
+                   (html) or pages/lines/ops/decode-failure counts
+                   (pdf) per extraction task
 
 Optional Gopher-style repetition ceilings (--max-dup-word-frac /
 --max-top-word-frac / --max-dup-bigram-frac) join the quality gate.
@@ -123,17 +128,19 @@ def main() -> None:
     orig_id = args.id_col
     extracted = args.html_col or args.pdf_col
 
-    def front_door(df):
+    def front_door(df, with_metrics=False):
         """input rows → the (doc_id, text) shape the stages consume"""
         if args.html_col:
             # composed web tier: scan → mapInPandas boilerplate strip
             return extract_main_text(df, html_col=args.html_col,
-                                     id_col=orig_id)
+                                     id_col=orig_id,
+                                     with_metrics=with_metrics)
         if args.pdf_col:
             # composed pdf tier: scan → mapInPandas object-stream
             # parse → one keyed exchange reassembling pages
             return extract_pdf_text(df, pdf_col=args.pdf_col,
-                                    id_col=orig_id)
+                                    id_col=orig_id,
+                                    with_metrics=with_metrics)
         return df
 
     resuming = args.resume and _hdfs_exists(spark, f"{state}/manifest")
@@ -153,7 +160,7 @@ def main() -> None:
     else:
         raw = raw_all
 
-    docs = front_door(raw)
+    docs = front_door(raw, with_metrics=extracted)
     if extracted:
         # Materialize the extraction ONCE to a parquet artifact and
         # feed every downstream stage from that scan. Two reasons:
@@ -167,9 +174,21 @@ def main() -> None:
         (docs.withColumn("run_id", F.lit(args.run_id))
          .write.partitionBy("run_id").mode(write_mode)
          .parquet(f"{out}/extracted"))
-        docs = (spark.read.parquet(f"{out}/extracted")
-                .filter(F.col("run_id") == args.run_id)
-                .select("doc_id", "text"))
+        ext_run = (spark.read.parquet(f"{out}/extracted")
+                   .filter(F.col("run_id") == args.run_id))
+        # per-partition extraction lineage + metrics (north rule):
+        # docs / node-span / pages-lines-ops / decode-failure totals
+        # per extraction task, rolled up from the stored metric columns
+        metric_cols = [c for c in ext_run.columns
+                       if c not in ("doc_id", "text", "run_id",
+                                    "partition_id")]
+        (ext_run.groupBy("partition_id")
+         .agg(F.count("*").alias("docs"),
+              *[F.sum(c).alias(c) for c in metric_cols])
+         .withColumns({"run_id": F.lit(args.run_id),
+                       "audit_ts": F.current_timestamp()})
+         .write.mode("append").parquet(f"{out}/extract_audit"))
+        docs = ext_run.select("doc_id", "text")
         id_col, text_col = "doc_id", "text"
     else:
         id_col, text_col = args.id_col, args.text_col

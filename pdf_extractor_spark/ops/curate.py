@@ -96,23 +96,34 @@ def _quality_pred(min_tokens: int, max_digit_ratio: float,
 
 
 def extract_main_text(pages: DataFrame, html_col: str = "html_text",
-                      id_col: str = "doc_id") -> DataFrame:
+                      id_col: str = "doc_id",
+                      with_metrics: bool = False) -> DataFrame:
     """Web-tier front door: boilerplate-strip each HTML page
     (``ops.boilerplate.extract_main_content``) and return the
     (doc_id, text) shape every curation / dedup / textstats op
     consumes — so `extract → gate → dedup` composes as ONE lazy plan:
     scan → mapInPandas flatten (shuffle-free) → codegen'd gates, with
-    the dedup exchanges operating on extracted main text only."""
+    the dedup exchanges operating on extracted main text only.
+
+    `with_metrics` adds the north rule's per-document extraction
+    metrics — node / kept-block / span counts plus the task partition
+    that parsed the doc (captured BEFORE any exchange, so it names the
+    extraction task, i.e. real lineage)."""
     from .boilerplate import extract_main_content
 
-    return extract_main_content(pages, html_col=html_col,
-                                id_col=id_col).select(
-        F.col(id_col).alias("doc_id"),
-        F.col("main_text").alias("text"))
+    ext = extract_main_content(pages, html_col=html_col, id_col=id_col)
+    cols = [F.col(id_col).alias("doc_id"),
+            F.col("main_text").alias("text")]
+    if with_metrics:
+        cols += [F.col("n_nodes"), F.col("n_kept"),
+                 F.size("spans").alias("n_spans"),
+                 F.spark_partition_id().alias("partition_id")]
+    return ext.select(*cols)
 
 
 def extract_pdf_text(pages: DataFrame, pdf_col: str = "pdf",
-                     id_col: str = "doc_id") -> DataFrame:
+                     id_col: str = "doc_id",
+                     with_metrics: bool = False) -> DataFrame:
     """PDF-tier front door: parse each document's PDF bytes
     (``ops.pdfstream.parse_pdf_pages``) and reassemble the per-page
     texts into the (doc_id, text) shape the curation stack consumes.
@@ -121,18 +132,32 @@ def extract_pdf_text(pages: DataFrame, pdf_col: str = "pdf",
     document reassembly is the tier's ONE keyed exchange — inherent,
     because pages of a document land on different input splits at
     10^12-document scale. Everything downstream (gates, dedup) reuses
-    that exchange's partitioning where Catalyst can."""
+    that exchange's partitioning where Catalyst can.
+
+    `with_metrics` adds pages parsed / line / operator / decode-failure
+    counts per document plus the parse task's partition id (taken
+    before the reassembly exchange — all pages of a doc come out of
+    one kernel task, so it is constant per doc)."""
     from .pdfstream import parse_pdf_pages
 
     parsed = parse_pdf_pages(pages, pdf_col=pdf_col, id_col=id_col)
+    aggs = [F.array_sort(F.collect_list(F.struct("page_idx", "text")))
+            .alias("pgs")]
+    if with_metrics:
+        parsed = parsed.withColumn("partition_id", F.spark_partition_id())
+        aggs += [F.count("*").alias("n_pages"),
+                 F.sum("n_lines").alias("n_lines"),
+                 F.sum("n_ops").alias("n_ops"),
+                 F.sum("decode_failures").alias("decode_failures"),
+                 F.first("partition_id").alias("partition_id")]
+    out_cols = ["doc_id",
+                F.array_join(F.transform("pgs", lambda s: s["text"]), "\n")
+                .alias("text")]
+    if with_metrics:
+        out_cols += ["n_pages", "n_lines", "n_ops", "decode_failures",
+                     "partition_id"]
     return (parsed                      # parse output is keyed "doc_id"
-            .groupBy("doc_id")
-            .agg(F.array_sort(F.collect_list(F.struct("page_idx", "text")))
-                 .alias("pgs"))
-            .select("doc_id",
-                    F.array_join(
-                        F.transform("pgs", lambda s: s["text"]), "\n")
-                    .alias("text")))
+            .groupBy("doc_id").agg(*aggs).select(*out_cols))
 
 
 def qualified_hashes(docs: DataFrame, id_col: str = "doc_id",

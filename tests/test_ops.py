@@ -533,3 +533,43 @@ def test_deterministic_sample_properties(spark):
     assert half <= kept(0.8, 0.8)               # monotone: raising adds only
     assert kept(0.5, 0.5, docs.repartition(13)) == half  # partition-invariant
     assert kept(0.5, 0.0) == {i for i in half if i % 2 == 0}  # per-source
+
+
+def test_front_door_metrics(spark, sf_dir):
+    """with_metrics front doors: text identical to the plain shape,
+    metric totals sane, and partition_id names the extraction task
+    (html: captured pre-exchange; pdf: constant per doc)."""
+    from pdf_extractor_spark.datagen import pdfs_from_documents
+    from pdf_extractor_spark.ops.curate import (extract_main_text,
+                                                extract_pdf_text)
+    from pdf_extractor_spark.queries import _wrap_html_col
+    from pyspark.sql import functions as F
+
+    d = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+         .select("doc_id", "text").filter(F.col("doc_id") < 120))
+    html = d.select(
+        "doc_id", _wrap_html_col(F.col("doc_id"), F.col("text"))
+        .alias("html_text"))
+
+    plain = {r.doc_id: r.text
+             for r in extract_main_text(html).collect()}
+    rich = extract_main_text(html, with_metrics=True).collect()
+    assert {r.doc_id: r.text for r in rich} == plain
+    for r in rich:
+        assert 0 < r.n_kept <= r.n_nodes
+        assert r.n_spans >= r.n_kept
+        assert r.partition_id >= 0
+
+    pdfs = pdfs_from_documents(d)
+    plain_p = {r.doc_id: r.text
+               for r in extract_pdf_text(pdfs).collect()}
+    rich_p = extract_pdf_text(pdfs, with_metrics=True).collect()
+    assert {r.doc_id: r.text for r in rich_p} == plain_p
+    raw_texts = {r.doc_id: r.text for r in d.collect()}
+    for r in rich_p:
+        n_words = len(raw_texts[r.doc_id].split())
+        n_lines = max(1, -(-n_words // 12))      # 12 words/line
+        assert r.n_lines == n_lines
+        assert r.n_pages == -(-n_lines // 4)     # 4 lines/page
+        assert r.decode_failures == 0
+        assert r.partition_id >= 0
