@@ -55,6 +55,39 @@ def stream_extract_ficha(
     return writer.start()
 
 
+def stream_extract_web(
+    spark: SparkSession,
+    pages_path: str,
+    out_path: str,
+    checkpoint: str,
+    html_col: str = "html_text",
+    available_now: bool = True,
+):
+    """Streaming face of the web-tier front door: `readStream` over
+    newly-arrived page files → the SAME batch boilerplate-strip kernel
+    (`ops.curate.extract_main_text` is a stateless scan→mapInPandas
+    map, so it runs on a streaming DataFrame unchanged — no
+    foreachBatch needed) → append sink carrying extracted text plus
+    the per-document extraction metrics/partition lineage.
+
+    Exactly-once at file granularity via the checkpoint; on Iceberg
+    the reader becomes `readStream.format("iceberg")` (snapshot-id
+    incremental micro-batches) with identical downstream plan."""
+    from .ops.curate import extract_main_text
+
+    stream = (spark.readStream
+              .schema(f"doc_id bigint, {html_col} string")
+              .parquet(pages_path))
+    ext = extract_main_text(stream, html_col=html_col, with_metrics=True)
+    writer = (ext.writeStream.format("parquet")
+              .outputMode("append")
+              .option("path", out_path)
+              .option("checkpointLocation", checkpoint))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def stream_audit_rollup(
     spark: SparkSession,
     pages_path: str,

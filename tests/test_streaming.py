@@ -136,3 +136,46 @@ def test_stream_dedup_exact_suppresses_cross_batch_dups(spark, tmp_path):
     got2 = duckdb.sql(
         f"SELECT url FROM read_parquet('{out}/*.parquet') ORDER BY url").fetchall()
     assert [u for (u,) in got2] == ["u://1", "u://3", "u://4"]
+
+
+def test_stream_extract_web_incremental(spark, tmp_path):
+    """The web front door as a stream: micro-batches produce exactly
+    the batch kernel's output, and a second availableNow run over the
+    same checkpoint processes ONLY newly-arrived files."""
+    from pdf_extractor_spark.ops.curate import extract_main_text
+    from pdf_extractor_spark.queries import _wrap_html_col
+    from pdf_extractor_spark.streaming import stream_extract_web
+
+    pages_dir = str(tmp_path / "webpages")
+    out_dir = str(tmp_path / "webout")
+    ckpt = str(tmp_path / "webckpt")
+
+    def mkfile(lo, hi):
+        (spark.range(lo, hi).select(
+            F.col("id").alias("doc_id"),
+            _wrap_html_col(F.col("id"),
+                           F.concat(F.lit("stream doc body with plenty "
+                                          "of real prose content number "),
+                                    F.col("id").cast("string")))
+            .alias("html_text"))
+         .coalesce(1).write.mode("append").parquet(pages_dir))
+
+    mkfile(0, 40)
+    stream_extract_web(spark, pages_dir, out_dir, ckpt) \
+        .awaitTermination(180)
+    got1 = spark.read.parquet(out_dir)
+    batch = extract_main_text(
+        spark.read.parquet(pages_dir), with_metrics=True)
+    assert ({(r.doc_id, r.text, r.n_nodes, r.n_kept)
+             for r in got1.collect()}
+            == {(r.doc_id, r.text, r.n_nodes, r.n_kept)
+                for r in batch.collect()})
+
+    mkfile(40, 55)          # append-only arrival of a new crawl segment
+    stream_extract_web(spark, pages_dir, out_dir, ckpt) \
+        .awaitTermination(180)
+    got2 = spark.read.parquet(out_dir)
+    assert got2.count() == 55
+    assert {r.doc_id for r in got2.collect()} == set(range(55))
+    # the increment really was incremental: first run's rows unchanged
+    assert got2.filter(F.col("doc_id") < 40).count() == 40
