@@ -165,12 +165,13 @@ def main() -> None:
         # Materialize the extraction ONCE to a parquet artifact and
         # feed every downstream stage from that scan. Two reasons:
         # (1) pairs + curate + stage counts all read it — the kernel
-        # must run once, not per consumer; (2) the dedup stage's
-        # signature and verify subtrees only share a ReusedExchange
-        # (and the vectorized columnar reader) over a common FileScan —
-        # an in-memory cache gives them neither (measured 3× slower at
-        # 1M docs). run_id partitioning makes increments append a new
-        # directory while batch runs overwrite the table.
+        # must run once, not per consumer; (2) the MinHash pair plan
+        # references its input 12 times, and each reference is a
+        # vectorized FileScan over parquet but an InMemoryTableScan
+        # row-cache read over a .persist() — measured 3× slower at
+        # 200k-1M docs, identical results. run_id partitioning makes
+        # increments append a new directory while batch runs overwrite
+        # the table.
         (docs.withColumn("run_id", F.lit(args.run_id))
          .write.partitionBy("run_id").mode(write_mode)
          .parquet(f"{out}/extracted"))
