@@ -586,6 +586,10 @@ def gen_pdf_bytes(doc_id: int, text: str) -> bytes:
     # (W-array rows, FlateDecode, PNG Up predictor when compressing) —
     # the layout virtually all modern / Common-Crawl PDFs use
     xref_stream = h % 13 == 0
+    # hybrid-reference layout (§7.5.8.4, Acrobat compatibility): same
+    # ObjStm packing, but startxref points at a CLASSIC table that
+    # lists packed objects as free and carries /XRefStm in its trailer
+    hybrid = h % 13 == 1
     # the /Differences dict redefines bytes 164/183 (¤/·) as
     # Euro/bullet — a text containing the displaced characters cannot
     # use it (cp1252 would emit those bytes with their old meaning)
@@ -660,8 +664,8 @@ def gen_pdf_bytes(doc_id: int, text: str) -> bytes:
     objs[3] = (b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica"
                b" /Encoding " + font_enc + b" >>")
 
-    if xref_stream:
-        return _assemble_pdf15(objs, next_num, compress)
+    if xref_stream or hybrid:
+        return _assemble_pdf15(objs, next_num, compress, hybrid=hybrid)
 
     out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
     offsets: dict[int, int] = {}
@@ -679,12 +683,16 @@ def gen_pdf_bytes(doc_id: int, text: str) -> bytes:
 
 
 def _assemble_pdf15(objs: dict[int, bytes], next_num: int,
-                    compress: bool) -> bytes:
+                    compress: bool, hybrid: bool = False) -> bytes:
     """PDF-1.5 assembly: plain (non-stream) objects live inside one
     compressed object stream; the cross reference is a binary xref
     stream (W [1 4 2] rows; FlateDecode; PNG Up predictor when
     `compress`). Stream-bearing objects stay top-level, as §7.5.7
-    requires."""
+    requires.
+
+    `hybrid` emits the §7.5.8.4 hybrid-reference shape instead:
+    startxref points at a CLASSIC table whose packed objects are free
+    entries and whose trailer carries /XRefStm → the xref stream."""
     import zlib
 
     plain = [n for n in sorted(objs) if b"\nstream\n" not in objs[n]]
@@ -741,6 +749,20 @@ def _assemble_pdf15(objs: dict[int, bytes], next_num: int,
             b" /Filter /FlateDecode%s /Length %d >>\nstream\n"
             % (xref_num, maxn + 1, parms, len(xdata)))
     out += xdata + b"\nendstream\nendobj\n"
+    if hybrid:
+        # classic table: packed objects free, top-level objects real;
+        # /XRefStm hands new readers the stream's type-2 entries
+        classic_off = len(out)
+        out += b"xref\n0 %d\n" % (maxn + 1)
+        for num in range(maxn + 1):
+            if num == 0 or num in plain_idx:
+                out += b"0000000000 65535 f \n"
+            else:
+                out += b"%010d 00000 n \n" % offsets[num]
+        out += (b"trailer\n<< /Size %d /Root 1 0 R /XRefStm %d >>\n"
+                b"startxref\n%d\n%%%%EOF\n"
+                % (maxn + 1, xref_off, classic_off))
+        return bytes(out)
     out += b"startxref\n%d\n%%%%EOF\n" % xref_off
     return bytes(out)
 

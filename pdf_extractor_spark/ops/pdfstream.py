@@ -22,6 +22,7 @@ Split of labor (same scale contract as `ops/boilerplate.py`):
 Grammar coverage (PDF 32000-1): header + classic xref tables AND
 PDF-1.5 cross-reference streams (§7.5.8: /W-packed binary rows,
 /Index subsections, FlateDecode with PNG predictors, /Prev chains,
+hybrid-reference files via trailer /XRefStm §7.5.8.4,
 type-2 entries into compressed /ObjStm object streams §7.5.7) +
 trailer + startxref; dictionaries, arrays, names (with #xx escapes),
 numbers, literal strings (escape sequences, nested parens, octal,
@@ -364,6 +365,16 @@ class _Doc:
         if not buf.startswith(b"trailer", i):
             raise ValueError("no trailer")
         trailer, _ = _parse_value(buf, i + 7)
+        xs = trailer.get("XRefStm")
+        if isinstance(xs, (int, float)):
+            # hybrid-reference file (§7.5.8.4): the classic table lists
+            # ObjStm-packed objects as free; their real (type-2) entries
+            # live in this xref stream. A broken hybrid stream degrades
+            # to whatever the classic table alone resolves.
+            try:
+                self._xref_stream(_skip_ws(buf, int(xs)), offsets)
+            except (ValueError, KeyError, OverflowError, zlib.error):
+                pass
         prev = trailer.get("Prev")
         return trailer, int(prev) if isinstance(prev, (int, float)) else None
 

@@ -129,6 +129,28 @@ def test_pdf15_xref_stream_roundtrip():
             _assert_roundtrip(doc_id, text)
 
 
+def test_hybrid_reference_xrefstm():
+    """Hybrid-reference layout (§7.5.8.4): startxref → classic table
+    whose ObjStm-packed objects are FREE entries, trailer /XRefStm →
+    xref stream with the real type-2 entries. Both a spec reader (via
+    XRefStm) and the text must resolve."""
+    from pdf_extractor_spark.datagen import _h
+    from pdf_extractor_spark.ops.pdfstream import _Doc
+
+    ids = [i for i in range(3000) if _h(0, i, "pdfvar") % 13 == 1][:3]
+    assert ids
+    for doc_id in ids:
+        text = doc_row(42, doc_id)["text"]
+        pdf = gen_pdf_bytes(doc_id, text)
+        assert (b"/XRefStm" in pdf and b"trailer" in pdf
+                and b"/ObjStm" in pdf)
+        d = _Doc(pdf)
+        assert d.compressed          # resolved through the XRefStm
+        root = d.trailer.get("Root")
+        assert root is not None and root.num in d.compressed
+        _assert_roundtrip(doc_id, text)
+
+
 def test_incremental_update_prev_chain():
     """A PDF with an appended incremental update: the new xref section
     points at the old one via /Prev; the NEWEST definition of an
