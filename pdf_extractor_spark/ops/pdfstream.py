@@ -657,6 +657,7 @@ class _Doc:
 # --- content-stream tokenizer -------------------------------------------
 
 _OPER_RE = re.compile(rb"[A-Za-z'\"*]+")
+_INLINE_IMG_END = re.compile(rb"[\x00\t\n\x0c\r ]EI(?=[\x00\t\n\x0c\r ]|$)")
 
 
 def _tokenize_content(buf: bytes):
@@ -712,7 +713,16 @@ def _tokenize_content(buf: bytes):
                 continue
             m = _OPER_RE.match(buf, i)
             if m:
-                yield ("op", m.group().decode("latin-1"))
+                op = m.group().decode("latin-1")
+                if op == "BI":                  # inline image (§8.9.7):
+                    # binary sample data follows ID and would poison
+                    # the tokenizer; skip through the EI terminator
+                    # (whitespace-delimited, the practical heuristic
+                    # every parser uses since the data is unframed)
+                    me = _INLINE_IMG_END.search(buf, m.end())
+                    i = me.end() if me else len(buf)
+                    continue
+                yield ("op", op)
                 i = m.end()
             else:
                 i += 1                          # unknown byte: skip

@@ -294,3 +294,23 @@ def test_pdf_tier_curation_invariant(spark, sf_dir):
                for r in curate_corpus(
                    extract_pdf_text(pdfs_from_documents(docs))).collect()}
     assert direct == via_pdf and direct
+
+
+def test_inline_image_skipped():
+    """BI…ID…EI inline-image data (which may contain bytes that look
+    like operators or strings) must not disturb the text state
+    machine: text before and after the image both survive."""
+    body = (b"BT /F1 11 Tf 72 720 Td (before) Tj ET\n"
+            b"BI /W 4 /H 4 /BPC 8 /CS /G ID "
+            b"\x00\x28garbage(Tj)\xff)\x01 ET BT\nEI\n"
+            b"BT /F1 11 Tf 72 700 Td (after) Tj ET")
+    pdf = _minimal_pdf({
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Count 1 /Kids [3 0 R] >>",
+        3: b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>",
+        4: b"<< /Length %d >>\nstream\n" % len(body) + body
+           + b"\nendstream",
+    })
+    parsed = parse_pdf_doc(pdf)
+    assert [p["text"] for p in parsed] == ["before\nafter"]
+    assert parsed[0]["decode_failures"] == 0
