@@ -635,14 +635,31 @@ def gen_pdf_bytes(doc_id: int, text: str) -> bytes:
     font_enc = (b"<< /Type /Encoding /BaseEncoding /WinAnsiEncoding"
                 b" /Differences [164 /Euro 183 /bullet] >>"
                 if differences else b"/WinAnsiEncoding")
+    # content-stream filter variant (independent hash slot): some docs
+    # ship their streams through an ASCII filter CHAIN — the data is
+    # flate-compressed then ascii-armored, so the /Filter array lists
+    # the decoders in application order, as real PDFs do
+    fm = _h(0, doc_id, "pdffilt") % 7
+
+    def enc_stream(s: bytes) -> tuple[bytes, bytes]:
+        if fm == 0:
+            return (zlib.compress(s).hex().encode("ascii") + b">",
+                    b" /Filter [/ASCIIHexDecode /FlateDecode]")
+        if fm == 1:
+            import base64
+            return (base64.a85encode(zlib.compress(s)) + b"~>",
+                    b" /Filter [/ASCII85Decode /FlateDecode]")
+        if compress:
+            return zlib.compress(s), b" /Filter /FlateDecode"
+        return s, b""
+
     objs: dict[int, bytes] = {}
     next_num = 4
     stream_nums: list[list[int]] = []
     for streams in page_streams:
         nums = []
         for s in streams:
-            data = zlib.compress(s) if compress else s
-            filt = b" /Filter /FlateDecode" if compress else b""
+            data, filt = enc_stream(s)
             objs[next_num] = (b"<< /Length %d" % len(data) + filt
                               + b" >>\nstream\n" + data + b"\nendstream")
             nums.append(next_num)

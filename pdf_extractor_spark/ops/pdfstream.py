@@ -27,7 +27,9 @@ type-2 entries into compressed /ObjStm object streams §7.5.7) +
 trailer + startxref; dictionaries, arrays, names (with #xx escapes),
 numbers, literal strings (escape sequences, nested parens, octal,
 line continuations), hex strings, indirect references, booleans/null;
-streams with direct or indirect /Length and /FlateDecode; the page
+streams with direct or indirect /Length and FlateDecode /
+ASCIIHexDecode / ASCII85Decode / RunLengthDecode filter chains
+(applied in array order); the page
 tree (nested /Kids); /Contents as a single stream or an array
 (concatenated before tokenization); text operators BT ET Tf Td TD TL
 Tm T* Tj TJ ' "; font /Encoding as a name or a dictionary with
@@ -256,6 +258,68 @@ def _glyph_to_unicode(name: str) -> str | None:
     if len(name) == 1:
         return name
     return None
+
+
+def _ascii_hex_decode(data: bytes) -> bytes:
+    """§7.4.2: hex pairs, whitespace ignored, '>' is EOD, odd final
+    digit pads with 0."""
+    end = data.find(b">")
+    hx = re.sub(rb"\s+", b"", data[:end if end >= 0 else len(data)])
+    if len(hx) % 2:
+        hx += b"0"
+    try:
+        return bytes.fromhex(hx.decode("ascii"))
+    except (ValueError, UnicodeDecodeError):
+        return b""
+
+
+def _ascii85_decode(data: bytes) -> bytes:
+    """§7.4.3: base-85 groups of 5 chars → 4 bytes, 'z' = four zero
+    bytes, '~>' is EOD, partial final group of n chars → n-1 bytes."""
+    end = data.find(b"~>")
+    body = re.sub(rb"\s+", b"", data[:end if end >= 0 else len(data)])
+    out = bytearray()
+    group: list[int] = []
+    for ch in body:
+        if ch == 0x7A and not group:            # 'z'
+            out += b"\x00\x00\x00\x00"
+            continue
+        if not (0x21 <= ch <= 0x75):            # '!'..'u'
+            return b""
+        group.append(ch - 0x21)
+        if len(group) == 5:
+            v = 0
+            for g in group:
+                v = v * 85 + g
+            out += v.to_bytes(4, "big")
+            group = []
+    if group:                                   # partial group
+        n = len(group)
+        if n == 1:
+            return b""
+        v = 0
+        for g in group + [84] * (5 - n):        # pad with 'u'
+            v = v * 85 + g
+        out += v.to_bytes(4, "big")[:n - 1]
+    return bytes(out)
+
+
+def _run_length_decode(data: bytes) -> bytes:
+    """§7.4.5: length byte 0–127 copies the next L+1 bytes, 129–255
+    repeats the next byte 257−L times, 128 is EOD."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        length = data[i]
+        if length == 128:
+            break
+        if length < 128:
+            out += data[i + 1:i + 2 + length]
+            i += 2 + length
+        else:
+            out += data[i + 1:i + 2] * (257 - length)
+            i += 2
+    return bytes(out)
 
 
 def _png_unpredict(data: bytes, columns: int) -> bytes:
@@ -587,9 +651,16 @@ class _Doc:
             filters = []
         elif not isinstance(filters, list):
             filters = [filters]
-        for f in filters:
-            if str(f) == "FlateDecode":
+        for f in filters:                       # chains apply in order
+            name = str(f)
+            if name == "FlateDecode":
                 raw = zlib.decompress(raw)
+            elif name == "ASCIIHexDecode":
+                raw = _ascii_hex_decode(raw)
+            elif name == "ASCII85Decode":
+                raw = _ascii85_decode(raw)
+            elif name == "RunLengthDecode":
+                raw = _run_length_decode(raw)
             # unknown filters: pass bytes through, count elsewhere
         return raw
 

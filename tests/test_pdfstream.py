@@ -314,3 +314,29 @@ def test_inline_image_skipped():
     parsed = parse_pdf_doc(pdf)
     assert [p["text"] for p in parsed] == ["before\nafter"]
     assert parsed[0]["decode_failures"] == 0
+
+
+def test_ascii_filter_chains_roundtrip():
+    """Streams shipped through [/ASCIIHexDecode /FlateDecode] and
+    [/ASCII85Decode /FlateDecode] chains (decode order = array order)
+    round-trip byte-identically; RunLengthDecode pinned on spec
+    vectors."""
+    from pdf_extractor_spark.datagen import _h
+    from pdf_extractor_spark.ops.pdfstream import (_ascii85_decode,
+                                                   _run_length_decode)
+
+    for want_fm, marker in ((0, b"/ASCIIHexDecode"),
+                            (1, b"/ASCII85Decode")):
+        ids = [i for i in range(2000)
+               if _h(0, i, "pdffilt") % 7 == want_fm][:3]
+        assert ids
+        for doc_id in ids:
+            text = doc_row(42, doc_id)["text"]
+            assert marker in gen_pdf_bytes(doc_id, text)
+            _assert_roundtrip(doc_id, text)
+    # spec vectors
+    assert _run_length_decode(b"\x03abcX\xfeZ\x80tail") == b"abcX" + b"Z" * 3
+    assert _ascii85_decode(b"z~>") == b"\x00\x00\x00\x00"
+    import base64
+    payload = b"The quick brown fox."
+    assert _ascii85_decode(base64.a85encode(payload) + b"~>") == payload
