@@ -649,6 +649,8 @@ def gen_pdf_bytes(doc_id: int, text: str) -> bytes:
             import base64
             return (base64.a85encode(zlib.compress(s)) + b"~>",
                     b" /Filter [/ASCII85Decode /FlateDecode]")
+        if fm == 2:
+            return _lzw_encode(s), b" /Filter /LZWDecode"
         if compress:
             return zlib.compress(s), b" /Filter /FlateDecode"
         return s, b""
@@ -696,6 +698,51 @@ def gen_pdf_bytes(doc_id: int, text: str) -> bytes:
         out += b"%010d 00000 n \n" % offsets[num]
     out += (b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
             % (maxn + 1, xref_off))
+    return bytes(out)
+
+
+def _lzw_encode(data: bytes) -> bytes:
+    """TIFF/PDF LZW encoder (§7.4.4, /EarlyChange 1): the writer-side
+    twin of the parser's from-spec decoder — leading clear code,
+    9→12-bit width bumps one entry early, EOD terminator."""
+    out = bytearray()
+    acc = nbits = 0
+    width = 9
+
+    def emit(code: int) -> None:
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            out.append((acc >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+
+    table: dict[bytes, int] = {bytes([b]): b for b in range(256)}
+    nxt = 258
+    emit(256)                                   # clear
+    w = b""
+    for b in data:
+        wc = w + bytes([b])
+        if wc in table:
+            w = wc
+            continue
+        emit(table[w])
+        table[wc] = nxt
+        nxt += 1
+        # width grows when the NEXT code could overflow (EarlyChange=1)
+        if nxt + 1 >= (1 << width) and width < 12:
+            width += 1
+        if nxt >= 4095:                         # table full: clear
+            emit(256)
+            table = {bytes([x]): x for x in range(256)}
+            nxt = 258
+            width = 9
+        w = bytes([b])
+    if w:
+        emit(table[w])
+    emit(257)                                   # EOD
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
     return bytes(out)
 
 

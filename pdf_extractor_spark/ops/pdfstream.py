@@ -28,8 +28,8 @@ trailer + startxref; dictionaries, arrays, names (with #xx escapes),
 numbers, literal strings (escape sequences, nested parens, octal,
 line continuations), hex strings, indirect references, booleans/null;
 streams with direct or indirect /Length and FlateDecode /
-ASCIIHexDecode / ASCII85Decode / RunLengthDecode filter chains
-(applied in array order); the page
+LZWDecode (EarlyChange) / ASCIIHexDecode / ASCII85Decode /
+RunLengthDecode filter chains (applied in array order); the page
 tree (nested /Kids); /Contents as a single stream or an array
 (concatenated before tokenization); text operators BT ET Tf Td TD TL
 Tm T* Tj TJ ' "; font /Encoding as a name or a dictionary with
@@ -301,6 +301,47 @@ def _ascii85_decode(data: bytes) -> bytes:
         for g in group + [84] * (5 - n):        # pad with 'u'
             v = v * 85 + g
         out += v.to_bytes(4, "big")[:n - 1]
+    return bytes(out)
+
+
+def _lzw_decode(data: bytes, early_change: int = 1) -> bytes:
+    """§7.4.4: TIFF-style LZW — 9-bit codes growing to 12, code 256
+    clears the table, 257 is EOD; with /EarlyChange 1 (the default)
+    the code width bumps one entry early."""
+    out = bytearray()
+    table: list[bytes] = [bytes([b]) for b in range(256)] + [b"", b""]
+    width = 9
+    prev: bytes | None = None
+    acc = nbits = 0
+    for byte in data:
+        acc = (acc << 8) | byte
+        nbits += 8
+        while nbits >= width:
+            code = (acc >> (nbits - width)) & ((1 << width) - 1)
+            nbits -= width
+            if code == 256:                     # clear table
+                table = table[:258]
+                width = 9
+                prev = None
+                continue
+            if code == 257:                     # EOD
+                return bytes(out)
+            if code < len(table):
+                entry = table[code]
+            elif code == len(table) and prev is not None:
+                entry = prev + prev[:1]         # KwKwK case
+            else:
+                return bytes(out)               # corrupt: best effort
+            out += entry
+            if prev is not None:
+                table.append(prev + entry[:1])
+            prev = entry
+            # the decoder's table trails the encoder's by one entry, so
+            # with /EarlyChange it bumps when its NEXT code would reach
+            # (1<<width)-1 — one earlier than its own table suggests
+            if (len(table) + early_change >= (1 << width) - 1
+                    and width < 12):
+                width += 1
     return bytes(out)
 
 
@@ -661,6 +702,14 @@ class _Doc:
                 raw = _ascii85_decode(raw)
             elif name == "RunLengthDecode":
                 raw = _run_length_decode(raw)
+            elif name == "LZWDecode":
+                parms = self.resolve(d.get("DecodeParms"))
+                ec = 1
+                if isinstance(parms, dict):
+                    e = self.resolve(parms.get("EarlyChange"))
+                    if isinstance(e, (int, float)):
+                        ec = int(e)
+                raw = _lzw_decode(raw, early_change=ec)
             # unknown filters: pass bytes through, count elsewhere
         return raw
 

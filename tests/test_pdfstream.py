@@ -340,3 +340,28 @@ def test_ascii_filter_chains_roundtrip():
     import base64
     payload = b"The quick brown fox."
     assert _ascii85_decode(base64.a85encode(payload) + b"~>") == payload
+
+
+def test_lzw_decode_roundtrip_and_spec_vector():
+    """LZWDecode: the PDF 32000-1 §7.4.4 worked example decodes to its
+    plaintext, and encoder↔decoder round-trips survive code-width
+    growth (9→12 bits) and a table clear."""
+    import random
+
+    from pdf_extractor_spark.datagen import _h, _lzw_encode
+    from pdf_extractor_spark.ops.pdfstream import _lzw_decode
+
+    assert _lzw_decode(bytes.fromhex("800B6050220C0C8501")) \
+        == b"-----A---B"
+    rng = random.Random(7)
+    for payload in (b"", b"A", b"-----A---B",
+                    bytes(rng.randrange(256) for _ in range(5000)),
+                    b"the quick brown fox " * 600,
+                    bytes(rng.randrange(4) for _ in range(30000))):
+        assert _lzw_decode(_lzw_encode(payload)) == payload
+    ids = [i for i in range(2000) if _h(0, i, "pdffilt") % 7 == 2][:3]
+    assert ids
+    for doc_id in ids:
+        text = doc_row(42, doc_id)["text"]
+        assert b"/LZWDecode" in gen_pdf_bytes(doc_id, text)
+        _assert_roundtrip(doc_id, text)
