@@ -594,8 +594,25 @@ def gen_pdf_bytes(doc_id: int, text: str) -> bytes:
     # Euro/bullet — a text containing the displaced characters cannot
     # use it (cp1252 would emit those bytes with their old meaning)
     differences = h % 11 == 0 and "¤" not in text and "·" not in text
+    # composite-font variant: a /Type0 font with /Encoding /Identity-H
+    # whose show strings are 2-byte CIDs, decodable ONLY through the
+    # font's /ToUnicode CMap (the north star's "CMap decoding to
+    # Unicode" named requirement — real non-Latin PDFs all look like
+    # this). CIDs are assigned in sorted-charset order, deliberately
+    # NOT equal to the code points.
+    cid_font = _h(0, doc_id, "pdfcid") % 9 == 0
+    cid_of: dict[str, int] = {}
+    if cid_font:
+        charset = sorted({c for pg in pages for ln in pg for c in ln})
+        cid_of = {c: i + 1 for i, c in enumerate(charset)}
 
     def show_op(line: str, k: int) -> bytes:
+        if cid_font:
+            return (b"<" + "".join("%04x" % cid_of[c] for c in line)
+                    .encode("ascii") + b"> Tj")
+        return _simple_show_op(line, k)
+
+    def _simple_show_op(line: str, k: int) -> bytes:
         hexf = hex_alt and k % 2 == 1
         if tj_array and not hexf and " " in line:
             ws = line.split(" ")
@@ -682,6 +699,19 @@ def gen_pdf_bytes(doc_id: int, text: str) -> bytes:
                + b" ".join(b"%d 0 R" % n for n in page_nums) + b"] >>")
     objs[3] = (b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica"
                b" /Encoding " + font_enc + b" >>")
+    if cid_font:
+        tou_num, desc_num = next_num, next_num + 1
+        next_num += 2
+        data, filt = enc_stream(_to_unicode_cmap_bytes(cid_of))
+        objs[tou_num] = (b"<< /Length %d" % len(data) + filt
+                         + b" >>\nstream\n" + data + b"\nendstream")
+        objs[desc_num] = (b"<< /Type /Font /Subtype /CIDFontType2"
+                          b" /BaseFont /SynthCID /CIDSystemInfo"
+                          b" << /Registry (Adobe) /Ordering (Identity)"
+                          b" /Supplement 0 >> >>")
+        objs[3] = (b"<< /Type /Font /Subtype /Type0 /BaseFont /SynthCID"
+                   b" /Encoding /Identity-H /DescendantFonts [%d 0 R]"
+                   b" /ToUnicode %d 0 R >>" % (desc_num, tou_num))
 
     if xref_stream or hybrid:
         return _assemble_pdf15(objs, next_num, compress, hybrid=hybrid)
@@ -698,6 +728,48 @@ def gen_pdf_bytes(doc_id: int, text: str) -> bytes:
         out += b"%010d 00000 n \n" % offsets[num]
     out += (b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
             % (maxn + 1, xref_off))
+    return bytes(out)
+
+
+def _to_unicode_cmap_bytes(cid_of: dict[str, int]) -> bytes:
+    """A real /ToUnicode CMap (§9.10.3): contiguous CID→codepoint runs
+    become bfrange rows, singletons become bfchar rows, each block
+    capped at the spec's 100 entries. UTF-16BE destinations."""
+    items = sorted(cid_of.items(), key=lambda kv: kv[1])
+    runs: list[tuple[int, int, str]] = []      # (cid_lo, cid_hi, ch_lo)
+    for ch, cid in items:
+        if (runs and ord(ch) <= 0xFFFF
+                and cid == runs[-1][1] + 1
+                and ord(ch) == ord(runs[-1][2]) + runs[-1][1]
+                - runs[-1][0] + 1
+                and ord(runs[-1][2]) <= 0xFFFF):
+            runs[-1] = (runs[-1][0], cid, runs[-1][2])
+        else:
+            runs.append((cid, cid, ch))
+
+    def u16hex(ch: str) -> bytes:
+        return ch.encode("utf-16-be").hex().encode("ascii")
+
+    bfranges = [r for r in runs if r[1] > r[0]]
+    bfchars = [(r[0], r[2]) for r in runs if r[1] == r[0]]
+    out = bytearray(
+        b"/CIDInit /ProcSet findresource begin\n12 dict begin\n"
+        b"begincmap\n/CMapName /SynthToUni def\n/CMapType 2 def\n"
+        b"1 begincodespacerange\n<0000> <ffff>\nendcodespacerange\n")
+    for i in range(0, len(bfchars), 100):
+        chunk = bfchars[i:i + 100]
+        out += b"%d beginbfchar\n" % len(chunk)
+        for cid, ch in chunk:
+            out += b"<%04x> <" % cid + u16hex(ch) + b">\n"
+        out += b"endbfchar\n"
+    for i in range(0, len(bfranges), 100):
+        chunk = bfranges[i:i + 100]
+        out += b"%d beginbfrange\n" % len(chunk)
+        for lo, hi, ch in chunk:
+            out += (b"<%04x> <%04x> <" % (lo, hi)) + u16hex(ch) + b">\n"
+        out += b"endbfrange\n"
+    out += (b"endcmap\nCMapName currentdict /CMap defineresource pop\n"
+            b"end\nend\n")
     return bytes(out)
 
 

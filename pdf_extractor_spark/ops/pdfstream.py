@@ -33,7 +33,9 @@ RunLengthDecode filter chains (applied in array order); the page
 tree (nested /Kids); /Contents as a single stream or an array
 (concatenated before tokenization); text operators BT ET Tf Td TD TL
 Tm T* Tj TJ ' "; font /Encoding as a name or a dictionary with
-/BaseEncoding + /Differences. Broken xrefs degrade to a brute-force
+/BaseEncoding + /Differences; composite /Type0 fonts with 2-byte
+CID show strings decoded through the /ToUnicode CMap (bfchar +
+bfrange incl. the destination-array form, UTF-16BE). Broken xrefs degrade to a brute-force
 object scan (which also opens /ObjStm containers) rather than
 failing the document.
 """
@@ -55,6 +57,14 @@ _OBJ_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b")
 _STARTXREF_RE = re.compile(rb"startxref\s+(\d+)")
 _XREF_SUB_RE = re.compile(rb"(\d+)\s+(\d+)\s*")
 _XREF_ENT_RE = re.compile(rb"(\d{10})\s+(\d{5})\s+([nf])\s*")
+# /ToUnicode CMap blocks (§9.10.3)
+_BFCHAR_RE = re.compile(rb"beginbfchar(.*?)endbfchar", re.S)
+_BFRANGE_RE = re.compile(rb"beginbfrange(.*?)endbfrange", re.S)
+_HEXPAIR_RE = re.compile(rb"<([0-9a-fA-F]+)>\s*<([0-9a-fA-F]+)>")
+_HEXONE_RE = re.compile(rb"<([0-9a-fA-F]+)>")
+_RANGE_RE = re.compile(
+    rb"<([0-9a-fA-F]+)>\s*<([0-9a-fA-F]+)>\s*"
+    rb"(?:<([0-9a-fA-F]+)>|\[((?:\s*<[0-9a-fA-F]+>)*)\s*\])")
 
 
 class _Ref:
@@ -746,8 +756,11 @@ class _Doc:
         # streams concatenate with whitespace between (§7.8.2)
         return b"\n".join(parts)
 
-    def page_encoding(self, page: dict) -> list[str]:
-        """byte → unicode table for the page's (single) font."""
+    def page_encoding(self, page: dict) -> list[str] | dict[int, str]:
+        """Decoder for the page's (single) font: a byte → unicode table
+        for simple fonts, or a CID → unicode map (dict) for composite
+        /Type0 fonts, built from the font's /ToUnicode CMap (§9.10.3:
+        bfchar / bfrange blocks, UTF-16BE destinations)."""
         table = list(_WINANSI)
         res = self.resolve(page.get("Resources")) or {}
         fonts = self.resolve(res.get("Font")) or {}
@@ -756,6 +769,11 @@ class _Doc:
             if isinstance(font, tuple):
                 font = font[0]
             if not isinstance(font, dict):
+                continue
+            if str(font.get("Subtype", "")) == "Type0":
+                cmap = self._to_unicode_cmap(font.get("ToUnicode"))
+                if cmap is not None:
+                    return cmap
                 continue
             enc = self.resolve(font.get("Encoding"))
             if isinstance(enc, dict):
@@ -772,6 +790,40 @@ class _Doc:
             # name encodings: WinAnsiEncoding is the base table already;
             # MacRoman/Standard differ only outside ASCII — out of scope
         return table
+
+    def _to_unicode_cmap(self, ref) -> dict[int, str] | None:
+        """Parse a /ToUnicode CMap stream into {2-byte CID → str}."""
+        v = self.resolve(ref)
+        if not (isinstance(v, tuple) and len(v) == 2):
+            return None
+        data = self.stream_data(v)
+        cmap: dict[int, str] = {}
+
+        def u16(hx: bytes) -> str:
+            try:
+                return bytes.fromhex(hx.decode("ascii")).decode(
+                    "utf-16-be", "replace")
+            except (ValueError, UnicodeDecodeError):
+                return "�"
+
+        for block in _BFCHAR_RE.finditer(data):
+            for m in _HEXPAIR_RE.finditer(block.group(1)):
+                cmap[int(m.group(1), 16)] = u16(m.group(2))
+        for block in _BFRANGE_RE.finditer(data):
+            for m in _RANGE_RE.finditer(block.group(1)):
+                lo, hi = int(m.group(1), 16), int(m.group(2), 16)
+                if m.group(3):                      # <lo> <hi> <dstStart>
+                    base = int(m.group(3), 16)
+                    width = len(m.group(3))
+                    for k in range(min(hi - lo + 1, 65536)):
+                        cmap[lo + k] = u16(
+                            b"%0*x" % (width, base + k))
+                else:                               # <lo> <hi> [<d> <d> …]
+                    dsts = _HEXONE_RE.findall(m.group(4))
+                    for k, d in enumerate(dsts):
+                        if lo + k <= hi:
+                            cmap[lo + k] = u16(d)
+        return cmap if cmap else None
 
 
 # --- content-stream tokenizer -------------------------------------------
@@ -848,7 +900,7 @@ def _tokenize_content(buf: bytes):
                 i += 1                          # unknown byte: skip
 
 
-def _extract_page(content: bytes, enc_table: list[str]
+def _extract_page(content: bytes, enc_table: list[str] | dict[int, str]
                   ) -> tuple[list[tuple[float, float, str]], int, int]:
     """Run the text-state machine over one page's content.
     Returns (shows, n_ops, decode_failures): shows are
@@ -859,9 +911,22 @@ def _extract_page(content: bytes, enc_table: list[str]
     operands: list = []
     n_ops = failures = 0
 
+    cid_mode = isinstance(enc_table, dict)
+
     def decode(raw: bytes) -> str:
         nonlocal failures
         out = []
+        if cid_mode:                    # composite font: 2-byte CIDs
+            if len(raw) % 2:
+                failures += 1
+                raw = raw[:-1]
+            for i in range(0, len(raw), 2):
+                ch = enc_table.get((raw[i] << 8) | raw[i + 1])
+                if ch is None:
+                    failures += 1
+                    ch = "�"
+                out.append(ch)
+            return "".join(out)
         for b in raw:
             ch = enc_table[b]
             if ch == "�":

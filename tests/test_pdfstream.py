@@ -365,3 +365,52 @@ def test_lzw_decode_roundtrip_and_spec_vector():
         text = doc_row(42, doc_id)["text"]
         assert b"/LZWDecode" in gen_pdf_bytes(doc_id, text)
         _assert_roundtrip(doc_id, text)
+
+
+def test_type0_cid_font_tounicode_cmap():
+    """Composite /Type0 fonts: 2-byte CID show strings decodable only
+    through the font's /ToUnicode CMap (bfchar + bfrange, UTF-16BE
+    destinations, CIDs deliberately ≠ code points)."""
+    from pdf_extractor_spark.datagen import _h
+    from pdf_extractor_spark.ops.pdfstream import _Doc
+
+    ids = [i for i in range(3000)
+           if _h(0, i, "pdfcid") % 9 == 0][:4]
+    assert ids
+    for doc_id in ids:
+        text = doc_row(42, doc_id)["text"]
+        pdf = gen_pdf_bytes(doc_id, text)
+        d = _Doc(pdf)
+        enc = d.page_encoding(d.pages()[0])
+        assert isinstance(enc, dict) and enc        # CMap decoder
+        # CIDs are charset ranks, not code points
+        assert any(cid != ord(ch) for cid, ch in enc.items())
+        _assert_roundtrip(doc_id, text)
+    # accented text exercises multi-rank runs + bfchar singletons
+    _assert_roundtrip(ids[0], "ação é coração válida ñ ü zebra")
+
+
+def test_bfrange_array_form():
+    """bfrange's bracketed destination-array form maps each CID in the
+    range to its own UTF-16BE string."""
+    from pdf_extractor_spark.ops.pdfstream import _Doc
+
+    cmap = (b"begincmap\n1 beginbfrange\n"
+            b"<0001> <0003> [<0058> <0059> <005a>]\n"
+            b"endbfrange\nendcmap")
+    body = b"BT /F1 11 Tf 72 720 Td <000100020003> Tj ET"
+    pdf = _minimal_pdf({
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Count 1 /Kids [3 0 R] >>",
+        3: (b"<< /Type /Page /Parent 2 0 R /Resources"
+            b" << /Font << /F1 4 0 R >> >> /Contents 6 0 R >>"),
+        4: (b"<< /Type /Font /Subtype /Type0 /Encoding /Identity-H"
+            b" /ToUnicode 5 0 R >>"),
+        5: b"<< /Length %d >>\nstream\n" % len(cmap) + cmap
+           + b"\nendstream",
+        6: b"<< /Length %d >>\nstream\n" % len(body) + body
+           + b"\nendstream",
+    })
+    parsed = parse_pdf_doc(pdf)
+    assert parsed[0]["text"] == "XYZ"
+    assert parsed[0]["decode_failures"] == 0
