@@ -137,7 +137,7 @@ def main() -> None:
                                      with_metrics=with_metrics)
         if args.pdf_col:
             # composed pdf tier: scan → mapInPandas object-stream
-            # parse → one keyed exchange reassembling pages
+            # parse, page reassembly kernel-local (zero exchanges)
             return extract_pdf_text(df, pdf_col=args.pdf_col,
                                     id_col=orig_id,
                                     with_metrics=with_metrics)

@@ -125,39 +125,29 @@ def extract_pdf_text(pages: DataFrame, pdf_col: str = "pdf",
                      id_col: str = "doc_id",
                      with_metrics: bool = False) -> DataFrame:
     """PDF-tier front door: parse each document's PDF bytes
-    (``ops.pdfstream.parse_pdf_pages``) and reassemble the per-page
-    texts into the (doc_id, text) shape the curation stack consumes.
+    (``ops.pdfstream.parse_pdf_docs``) into the (doc_id, text) shape
+    the curation stack consumes.
 
-    The parse itself is shuffle-free (scan → mapInPandas); the page →
-    document reassembly is the tier's ONE keyed exchange — inherent,
-    because pages of a document land on different input splits at
-    10^12-document scale. Everything downstream (gates, dedup) reuses
-    that exchange's partitioning where Catalyst can.
+    The input contract carries WHOLE PDFs per row, so every page of a
+    document comes out of one kernel call and the page → document
+    reassembly is kernel-local: the whole tier is scan → mapInPandas
+    with zero exchanges, the same plan shape as the HTML front door
+    (and stream-safe for the same reason). `parse_pdf_pages` + a keyed
+    aggregation remains available for inputs where pages genuinely
+    arrive as separate rows.
 
     `with_metrics` adds pages parsed / line / operator / decode-failure
-    counts per document plus the parse task's partition id (taken
-    before the reassembly exchange — all pages of a doc come out of
-    one kernel task, so it is constant per doc)."""
-    from .pdfstream import parse_pdf_pages
+    counts per document plus the parse task's partition id (captured
+    in the same shuffle-free stage)."""
+    from .pdfstream import parse_pdf_docs
 
-    parsed = parse_pdf_pages(pages, pdf_col=pdf_col, id_col=id_col)
-    aggs = [F.array_sort(F.collect_list(F.struct("page_idx", "text")))
-            .alias("pgs")]
+    parsed = parse_pdf_docs(pages, pdf_col=pdf_col, id_col=id_col)
+    cols = ["doc_id", "text"]
     if with_metrics:
         parsed = parsed.withColumn("partition_id", F.spark_partition_id())
-        aggs += [F.count("*").alias("n_pages"),
-                 F.sum("n_lines").alias("n_lines"),
-                 F.sum("n_ops").alias("n_ops"),
-                 F.sum("decode_failures").alias("decode_failures"),
-                 F.first("partition_id").alias("partition_id")]
-    out_cols = ["doc_id",
-                F.array_join(F.transform("pgs", lambda s: s["text"]), "\n")
-                .alias("text")]
-    if with_metrics:
-        out_cols += ["n_pages", "n_lines", "n_ops", "decode_failures",
-                     "partition_id"]
-    return (parsed                      # parse output is keyed "doc_id"
-            .groupBy("doc_id").agg(*aggs).select(*out_cols))
+        cols += ["n_pages", "n_lines", "n_ops", "decode_failures",
+                 "partition_id"]
+    return parsed.select(*cols)
 
 
 def qualified_hashes(docs: DataFrame, id_col: str = "doc_id",

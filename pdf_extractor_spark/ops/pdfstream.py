@@ -1026,6 +1026,50 @@ PARSED_SCHEMA = T.StructType([
 ])
 
 
+DOC_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("text", T.StringType()),
+    T.StructField("n_pages", T.IntegerType()),
+    T.StructField("n_lines", T.IntegerType()),
+    T.StructField("n_ops", T.IntegerType()),
+    T.StructField("decode_failures", T.IntegerType()),
+])
+
+
+def parse_pdf_docs(df: DataFrame, pdf_col: str = "pdf",
+                   id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, text, n_pages, n_lines, n_ops, decode_failures) — one
+    row per DOCUMENT, pages reassembled inside the kernel.
+
+    When the input carries whole PDFs per row (the pages-table
+    contract), every page of a document comes out of one
+    `parse_pdf_doc` call, so the page→document reassembly is
+    kernel-local and the whole tier stays scan → mapInPandas with ZERO
+    exchanges — same plan shape as the HTML front door. Use
+    `parse_pdf_pages` + a keyed aggregation only when pages genuinely
+    arrive as separate rows."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, raw in zip(pdf[id_col], pdf[pdf_col]):
+                pages = parse_pdf_doc(bytes(raw) if raw is not None
+                                      else b"")
+                rows.append({
+                    "doc_id": int(i),
+                    "text": "\n".join(p["text"] for p in pages),
+                    "n_pages": len(pages),
+                    "n_lines": sum(p["n_lines"] for p in pages),
+                    "n_ops": sum(p["n_ops"] for p in pages),
+                    "decode_failures": sum(p["decode_failures"]
+                                           for p in pages),
+                })
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in DOC_SCHEMA.fields])
+
+    return df.select(id_col, pdf_col).mapInPandas(run, DOC_SCHEMA)
+
+
 def parse_pdf_pages(df: DataFrame, pdf_col: str = "pdf",
                     id_col: str = "doc_id") -> DataFrame:
     """(doc_id, page_idx, text, n_lines, n_ops, decode_failures) —

@@ -88,6 +88,34 @@ def stream_extract_web(
     return writer.start()
 
 
+def stream_extract_pdf(
+    spark: SparkSession,
+    pages_path: str,
+    out_path: str,
+    checkpoint: str,
+    pdf_col: str = "pdf",
+    available_now: bool = True,
+):
+    """Streaming face of the PDF front door. `extract_pdf_text` is a
+    stateless scan→mapInPandas map (page reassembly is kernel-local —
+    whole PDFs arrive one per row), so like the web tier it runs on a
+    streaming DataFrame directly with no foreachBatch and no stateful
+    operators."""
+    from .ops.curate import extract_pdf_text
+
+    stream = (spark.readStream
+              .schema(f"doc_id bigint, {pdf_col} binary")
+              .parquet(pages_path))
+    ext = extract_pdf_text(stream, pdf_col=pdf_col, with_metrics=True)
+    writer = (ext.writeStream.format("parquet")
+              .outputMode("append")
+              .option("path", out_path)
+              .option("checkpointLocation", checkpoint))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def stream_audit_rollup(
     spark: SparkSession,
     pages_path: str,

@@ -414,3 +414,17 @@ def test_bfrange_array_form():
     parsed = parse_pdf_doc(pdf)
     assert parsed[0]["text"] == "XYZ"
     assert parsed[0]["decode_failures"] == 0
+
+
+def test_pdf_front_door_shuffle_free(spark, sf_dir):
+    """The document-level front door (parse_pdf_docs) must keep the
+    whole tier scan → mapInPandas with zero exchanges — reassembly is
+    kernel-local because whole PDFs arrive one per row."""
+    from pdf_extractor_spark.datagen import pdfs_from_documents
+    from pdf_extractor_spark.ops.curate import extract_pdf_text
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df = extract_pdf_text(pdfs_from_documents(docs), with_metrics=True)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("MapInPandas") == 2   # render + parse kernels
+    assert "Exchange" not in plan

@@ -179,3 +179,42 @@ def test_stream_extract_web_incremental(spark, tmp_path):
     assert {r.doc_id for r in got2.collect()} == set(range(55))
     # the increment really was incremental: first run's rows unchanged
     assert got2.filter(F.col("doc_id") < 40).count() == 40
+
+
+def test_stream_extract_pdf_incremental(spark, tmp_path):
+    """The PDF front door as a stream: batch-equal output, incremental
+    file pickup over a shared checkpoint (possible precisely because
+    page reassembly is kernel-local — no stateful operators)."""
+    from pdf_extractor_spark.datagen import pdfs_from_documents
+    from pdf_extractor_spark.ops.curate import extract_pdf_text
+    from pdf_extractor_spark.streaming import stream_extract_pdf
+
+    pages_dir = str(tmp_path / "pdfpages")
+    out_dir = str(tmp_path / "pdfout")
+    ckpt = str(tmp_path / "pdfckpt")
+
+    def mkfile(lo, hi):
+        base = spark.range(lo, hi).select(
+            F.col("id").alias("doc_id"),
+            F.concat(F.lit("pdf stream document body text number "),
+                     F.col("id").cast("string")).alias("text"))
+        (pdfs_from_documents(base).coalesce(1)
+         .write.mode("append").parquet(pages_dir))
+
+    mkfile(0, 30)
+    stream_extract_pdf(spark, pages_dir, out_dir, ckpt) \
+        .awaitTermination(180)
+    got1 = spark.read.parquet(out_dir)
+    batch = extract_pdf_text(spark.read.parquet(pages_dir),
+                             with_metrics=True)
+    assert ({(r.doc_id, r.text, r.n_pages, r.decode_failures)
+             for r in got1.collect()}
+            == {(r.doc_id, r.text, r.n_pages, r.decode_failures)
+                for r in batch.collect()})
+
+    mkfile(30, 45)
+    stream_extract_pdf(spark, pages_dir, out_dir, ckpt) \
+        .awaitTermination(180)
+    got2 = spark.read.parquet(out_dir)
+    assert got2.count() == 45
+    assert {r.doc_id for r in got2.collect()} == set(range(45))
