@@ -590,6 +590,31 @@ def gen_pdf_bytes(doc_id: int, text: str) -> bytes:
     # ObjStm packing, but startxref points at a CLASSIC table that
     # lists packed objects as free and carries /XRefStm in its trailer
     hybrid = h % 13 == 1
+    # standard-security-handler encryption (§7.6.3) with an EMPTY user
+    # password — the viewable-but-encrypted shape common in crawls.
+    # RC4 V1/R2, 40-bit; classic layout (no ObjStm interplay).
+    encrypt = _h(0, doc_id, "pdfenc") % 11 == 0
+    if encrypt:
+        xref_stream = hybrid = False
+    enc_key = doc_id_bytes = b""
+    if encrypt:
+        import hashlib
+        doc_id_bytes = hashlib.md5(b"synthid-%d" % doc_id).digest()
+        owner_o = _w_rc4(
+            hashlib.md5(_W_PDF_PAD).digest()[:5], _W_PDF_PAD)
+        enc_p = (-1) & 0xFFFFFFFF
+        enc_key = hashlib.md5(
+            _W_PDF_PAD + owner_o + enc_p.to_bytes(4, "little")
+            + doc_id_bytes).digest()[:5]
+        enc_u = _w_rc4(enc_key, _W_PDF_PAD)
+
+    def obj_encrypt(num: int, data: bytes) -> bytes:
+        if not encrypt:
+            return data
+        import hashlib
+        k = hashlib.md5(enc_key + num.to_bytes(3, "little")
+                        + b"\x00\x00").digest()[:10]
+        return _w_rc4(k, data)
     # the /Differences dict redefines bytes 164/183 (¤/·) as
     # Euro/bullet — a text containing the displaced characters cannot
     # use it (cp1252 would emit those bytes with their old meaning)
@@ -679,6 +704,7 @@ def gen_pdf_bytes(doc_id: int, text: str) -> bytes:
         nums = []
         for s in streams:
             data, filt = enc_stream(s)
+            data = obj_encrypt(next_num, data)
             objs[next_num] = (b"<< /Length %d" % len(data) + filt
                               + b" >>\nstream\n" + data + b"\nendstream")
             nums.append(next_num)
@@ -703,6 +729,7 @@ def gen_pdf_bytes(doc_id: int, text: str) -> bytes:
         tou_num, desc_num = next_num, next_num + 1
         next_num += 2
         data, filt = enc_stream(_to_unicode_cmap_bytes(cid_of))
+        data = obj_encrypt(tou_num, data)
         objs[tou_num] = (b"<< /Length %d" % len(data) + filt
                          + b" >>\nstream\n" + data + b"\nendstream")
         objs[desc_num] = (b"<< /Type /Font /Subtype /CIDFontType2"
@@ -712,6 +739,17 @@ def gen_pdf_bytes(doc_id: int, text: str) -> bytes:
         objs[3] = (b"<< /Type /Font /Subtype /Type0 /BaseFont /SynthCID"
                    b" /Encoding /Identity-H /DescendantFonts [%d 0 R]"
                    b" /ToUnicode %d 0 R >>" % (desc_num, tou_num))
+
+    trailer_extra = b""
+    if encrypt:
+        enc_num = next_num
+        next_num += 1
+        objs[enc_num] = (b"<< /Filter /Standard /V 1 /R 2 /O <"
+                         + owner_o.hex().encode("ascii") + b"> /U <"
+                         + enc_u.hex().encode("ascii") + b"> /P -1 >>")
+        idhex = doc_id_bytes.hex().encode("ascii")
+        trailer_extra = (b" /Encrypt %d 0 R /ID [<" % enc_num
+                         + idhex + b"> <" + idhex + b">]")
 
     if xref_stream or hybrid:
         return _assemble_pdf15(objs, next_num, compress, hybrid=hybrid)
@@ -726,8 +764,32 @@ def gen_pdf_bytes(doc_id: int, text: str) -> bytes:
     out += b"xref\n0 %d\n" % (maxn + 1) + b"0000000000 65535 f \n"
     for num in range(1, maxn + 1):
         out += b"%010d 00000 n \n" % offsets[num]
-    out += (b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
-            % (maxn + 1, xref_off))
+    out += (b"trailer\n<< /Size %d /Root 1 0 R" % (maxn + 1)
+            + trailer_extra
+            + b" >>\nstartxref\n%d\n%%%%EOF\n" % xref_off)
+    return bytes(out)
+
+
+# writer-local copies of the standard-handler pad + RC4 so the writer
+# and the parser stay independent implementations of the same spec
+_W_PDF_PAD = bytes.fromhex(
+    "28BF4E5E4E758A4164004E56FFFA0108"
+    "2E2E00B6D0683E802F0CA9FE6453697A")
+
+
+def _w_rc4(key: bytes, data: bytes) -> bytes:
+    s = list(range(256))
+    j = 0
+    for i in range(256):
+        j = (j + s[i] + key[i % len(key)]) & 0xFF
+        s[i], s[j] = s[j], s[i]
+    out = bytearray()
+    i = j = 0
+    for b in data:
+        i = (i + 1) & 0xFF
+        j = (j + s[i]) & 0xFF
+        s[i], s[j] = s[j], s[i]
+        out.append(b ^ s[(s[i] + s[j]) & 0xFF])
     return bytes(out)
 
 

@@ -35,7 +35,9 @@ tree (nested /Kids); /Contents as a single stream or an array
 Tm T* Tj TJ ' "; font /Encoding as a name or a dictionary with
 /BaseEncoding + /Differences; composite /Type0 fonts with 2-byte
 CID show strings decoded through the /ToUnicode CMap (bfchar +
-bfrange incl. the destination-array form, UTF-16BE). Broken xrefs degrade to a brute-force
+bfrange incl. the destination-array form, UTF-16BE); RC4
+standard-security-handler encryption §7.6.3 (V1/V2, R2/R3, empty
+user password, per-object keys). Broken xrefs degrade to a brute-force
 object scan (which also opens /ObjStm containers) rather than
 failing the document.
 """
@@ -270,6 +272,30 @@ def _glyph_to_unicode(name: str) -> str | None:
     return None
 
 
+# standard security handler padding string (§7.6.3.3, Table 21 note)
+_PDF_PAD = bytes.fromhex(
+    "28BF4E5E4E758A4164004E56FFFA0108"
+    "2E2E00B6D0683E802F0CA9FE6453697A")
+
+
+def _rc4(key: bytes, data: bytes) -> bytes:
+    """RC4 (the PDF standard handler's V1/V2 cipher), from the public
+    algorithm — symmetric, so the datagen writer uses its own copy."""
+    s = list(range(256))
+    j = 0
+    for i in range(256):
+        j = (j + s[i] + key[i % len(key)]) & 0xFF
+        s[i], s[j] = s[j], s[i]
+    out = bytearray()
+    i = j = 0
+    for b in data:
+        i = (i + 1) & 0xFF
+        j = (j + s[i]) & 0xFF
+        s[i], s[j] = s[j], s[i]
+        out.append(b ^ s[(s[i] + s[j]) & 0xFF])
+    return bytes(out)
+
+
 def _ascii_hex_decode(data: bytes) -> bytes:
     """§7.4.2: hex pairs, whitespace ignored, '>' is EOD, odd final
     digit pads with 0."""
@@ -415,7 +441,56 @@ class _Doc:
         self.cache: dict[int, object] = {}
         self.compressed: dict[int, tuple[int, int]] = {}
         self._objstm_cache: dict[int, dict[int, object]] = {}
+        self._enc_key: bytes | None = None
         self.offsets, self.trailer = self._load_xref()
+        self._setup_encryption()
+
+    def _setup_encryption(self) -> None:
+        """Standard security handler (§7.6.3), empty user password —
+        the viewable-but-encrypted shape crawled PDFs commonly have.
+        Computes the RC4 file key (Algorithm 2): MD5 of padded
+        password + /O + /P (signed LE) + first document ID, with R3's
+        50 re-hash rounds; V1 40-bit through V2 128-bit."""
+        import hashlib
+
+        if not isinstance(self.trailer, dict):
+            return
+        try:
+            enc = self.resolve(self.trailer.get("Encrypt"))
+        except (ValueError, KeyError):
+            return
+        if isinstance(enc, tuple):
+            enc = enc[0]
+        if not (isinstance(enc, dict)
+                and str(enc.get("Filter", "")) == "Standard"):
+            return
+        o = enc.get("O")
+        if not isinstance(o, bytes):
+            return
+        p = int(enc.get("P", -1)) & 0xFFFFFFFF
+        r = int(enc.get("R", 2))
+        nbits = enc.get("Length", 40)
+        n = max(5, min(int(nbits) // 8, 16))
+        ids = self.trailer.get("ID")
+        id0 = (ids[0] if isinstance(ids, list) and ids
+               and isinstance(ids[0], bytes) else b"")
+        key = hashlib.md5(_PDF_PAD + o + p.to_bytes(4, "little")
+                          + id0).digest()
+        if r >= 3:
+            for _ in range(50):
+                key = hashlib.md5(key[:n]).digest()
+        self._enc_key = key[:n]
+        self.cache.clear()              # drop any pre-key parses
+        self._objstm_cache.clear()
+
+    def _decrypt(self, num: int, raw: bytes) -> bytes:
+        """Per-object RC4 key (Algorithm 1): MD5(file key + objnum LE3
+        + gen LE2), truncated to keylen+5 ≤ 16."""
+        import hashlib
+
+        k = hashlib.md5(self._enc_key + num.to_bytes(3, "little")
+                        + b"\x00\x00").digest()
+        return _rc4(k[:min(len(self._enc_key) + 5, 16)], raw)
 
     # -- xref -------------------------------------------------------------
     def _load_xref(self) -> tuple[dict[int, int], dict]:
@@ -638,6 +713,11 @@ class _Doc:
                 end = buf.find(b"endstream", i)
                 length = max(end - i, 0)
             raw = buf[i:i + length]
+            # encrypted documents: streams are RC4'd per object (the
+            # cross-reference stream itself is never encrypted §7.5.8.2)
+            if (self._enc_key is not None
+                    and str(val.get("Type", "")) != "XRef"):
+                raw = self._decrypt(num, raw)
             return (val, raw)
         return val
 

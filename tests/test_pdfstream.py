@@ -97,7 +97,9 @@ def _pdf15_doc_ids(want_compress: bool, n: int = 2) -> list[int]:
     out = []
     for doc_id in range(3000):
         h = _h(0, doc_id, "pdfvar")
-        if h % 13 == 0 and (h % 2 == 0) == want_compress:
+        if (h % 13 == 0 and (h % 2 == 0) == want_compress
+                and _h(0, doc_id, "pdfenc") % 11 != 0):
+            # encryption forces the classic layout, so exclude it here
             out.append(doc_id)
             if len(out) == n:
                 break
@@ -137,7 +139,9 @@ def test_hybrid_reference_xrefstm():
     from pdf_extractor_spark.datagen import _h
     from pdf_extractor_spark.ops.pdfstream import _Doc
 
-    ids = [i for i in range(3000) if _h(0, i, "pdfvar") % 13 == 1][:3]
+    ids = [i for i in range(3000)
+           if _h(0, i, "pdfvar") % 13 == 1
+           and _h(0, i, "pdfenc") % 11 != 0][:3]
     assert ids
     for doc_id in ids:
         text = doc_row(42, doc_id)["text"]
@@ -428,3 +432,29 @@ def test_pdf_front_door_shuffle_free(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("MapInPandas") == 2   # render + parse kernels
     assert "Exchange" not in plan
+
+
+def test_encrypted_pdf_standard_handler():
+    """RC4 standard-security-handler docs (empty user password): the
+    file key derives per Algorithm 2, /U validates per Algorithm 6
+    (RC4(key, U) == PAD for R2), streams decrypt per object, and
+    extracted text is byte-identical. Ciphertext must not contain the
+    plaintext."""
+    from pdf_extractor_spark.datagen import _h
+    from pdf_extractor_spark.ops.pdfstream import _PDF_PAD, _Doc, _rc4
+
+    ids = [i for i in range(3000)
+           if _h(0, i, "pdfenc") % 11 == 0][:4]
+    assert ids
+    for doc_id in ids:
+        text = doc_row(42, doc_id)["text"]
+        pdf = gen_pdf_bytes(doc_id, text)
+        assert b"/Encrypt" in pdf
+        d = _Doc(pdf)
+        assert d._enc_key is not None and len(d._enc_key) == 5
+        enc = d.resolve(d.trailer["Encrypt"])
+        assert _rc4(d._enc_key, enc["U"]) == _PDF_PAD   # Algorithm 6
+        first_words = " ".join(text.split()[:3])
+        if len(first_words) > 6:
+            assert first_words.encode("cp1252", "ignore") not in pdf
+        _assert_roundtrip(doc_id, text)
