@@ -42,7 +42,7 @@ BASE_TS = _dt.datetime(2025, 7, 14, 19, 3, 42)
 
 # bump whenever generated content changes — benchmark corpus caches key
 # on it so stale corpora are never reused
-DATAGEN_REV = 2
+DATAGEN_REV = 3
 
 MONTH_FULL = [
     "janeiro", "fevereiro", "março", "abril", "maio", "junho",
@@ -224,7 +224,12 @@ def _word(text: str, x_center: float, top: float, page_idx: int,
 
 
 def _code_word(text: str, x0: float, top: float, page_idx: int) -> Word:
-    x1 = x0 + 4.8 * len(text)
+    # 4.2 pt/char keeps the longest code ("205-Insalubridade-ACS",
+    # x1 = 113.2) clear of the category column at 120 — word boxes must
+    # never touch (gap > 3 pt): a physical page renderer/parser pair
+    # (pdfplumber and ops/pdfstream alike) merges adjacent glyph runs
+    # into one word, so touching boxes are unrealizable geometry
+    x1 = x0 + 4.2 * len(text)
     bottom = top + 6.0
     return (text, x0, x1, top, bottom, page_idx * PAGE_H + top)
 
@@ -271,7 +276,7 @@ def _code_row(pb: _PageBuilder, code_text: str, cat: str, comp_vals: list[str | 
               valor_vals: list[str | None], totais_val: str | None = None) -> None:
     pi = pb.page_idx
     y = pb.y
-    row = [_code_word(code_text, 25.0, y, pi), _word(cat, 100.0, y, pi, half_w=3.0)]
+    row = [_code_word(code_text, 25.0, y, pi), _word(cat, 120.0, y, pi, half_w=3.0)]
     for i, v in enumerate(comp_vals):
         if v is not None:
             row.append(_word(v, COMP_CENTERS[i], y, pi))
@@ -963,6 +968,232 @@ def _assemble_pdf15(objs: dict[int, bytes], next_num: int,
         return bytes(out)
     out += b"startxref\n%d\n%%%%EOF\n" % xref_off
     return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# Engine-2 layout PDFs: render the ficha word boxes as REAL positioned
+# PDF text (one Tm-placed show per word, font /Widths + /FontDescriptor
+# metrics), so the parse side must recover (text, x0, x1, top, bottom,
+# doctop) from byte-level font metrics — the reference's extract_words
+# contract (processors/ficha_financeira_processor.py:424) — before the
+# layout kernel can run. Word emission order is shuffled per page: the
+# parser owns reading order, not the content stream.
+# ---------------------------------------------------------------------------
+
+_E2_ASCENT, _E2_DESCENT, _E2_GLYPH_W = 1000.0, 0.0, 500.0
+
+
+def _fexact(v: float) -> bytes:
+    """Shortest decimal that round-trips to exactly this double —
+    what the writer emits so the parser's float() recovers the same
+    value bit-for-bit."""
+    s = repr(float(v))
+    if s.endswith(".0"):
+        s = s[:-2]
+    if "e" in s or "E" in s:            # out of plain-decimal range
+        s = f"{float(v):.17f}".rstrip("0").rstrip(".")
+    return s.encode("ascii")
+
+
+def _twin_word_x1(x0: float, n: int, size: float, tz: float) -> float:
+    """Writer-side twin of the parser's advance accumulation (same
+    canonical op order: glyph_w=(W*size)/1000; end=x+glyph_w*(tz/100);
+    x+=(glyph_w+tc+tw)*(tz/100) with tc=tw=0) — used to verify that a
+    chosen /Tz lands the word's x1 on the target double exactly."""
+    scale = tz / 100.0
+    gw = (_E2_GLYPH_W * size) / 1000.0
+    gend = gw * scale
+    adv = (gw + 0.0 + 0.0) * scale
+    x = x0
+    last_end = x0
+    for _ in range(n):
+        last_end = x + gend
+        x = x + adv
+    return last_end
+
+
+def _nudge(v0: float, err_of) -> float:
+    """Smallest |err_of(v)| reachable from v0 by ulp steps (exact hit
+    returns immediately) — lands float-denominated targets despite
+    decimal→binary rounding in the emitted operand."""
+    import math
+
+    best_v, best_err = v0, abs(err_of(v0))
+    if best_err == 0.0:
+        return v0
+    for direction in (math.inf, -math.inf):
+        v = v0
+        for _ in range(48):
+            v = math.nextafter(v, direction)
+            err = abs(err_of(v))
+            if err == 0.0:
+                return v
+            if err < best_err:
+                best_v, best_err = v, err
+            if err > best_err * 4:      # walking away — stop this side
+                break
+    return best_v
+
+
+def _e2_word_ops(word: Word, height: float) -> bytes:
+    """Positioned shows for one word box. Solves /Tf size from the box
+    height (ascent−descent = 1000/1000 units → size = height) and /Tz
+    from the target width, nudging the emitted operands so the
+    parser's recovered (x0, x1, top, bottom) equal the source box
+    doubles exactly. Multi-glyph words anchor the LAST glyph with its
+    own Tm: a single rounding then separates the emitted x from the
+    target x1, so an ulp nudge always lands it (the n-fold advance
+    accumulation of a one-show word can skip representable doubles)."""
+    text, x0, x1, top, bottom, _doctop = word
+    size = bottom - top
+    apts = (_E2_ASCENT * size) / 1000.0
+    ty0 = height - top - apts
+    ty = _nudge(ty0, lambda v: (height - (v + apts)) - top)
+    n = len(text)
+    per = ((_E2_GLYPH_W * size) / 1000.0) * 1.0
+    tz0 = (x1 - x0) * 100.0 / (per * n) if per * n else 100.0
+    raw = text.replace("‑", "\x7f").encode("cp1252")
+    head = b"BT /F1 " + _fexact(size) + b" Tf "
+    pos = b" Tz 1 0 0 1 " + _fexact(x0) + b" " + _fexact(ty) + b" Tm "
+    if n <= 1:
+        tz = _nudge(tz0, lambda v: _twin_word_x1(x0, n, size, v) - x1)
+        return (head + _fexact(tz) + pos
+                + b"(" + _pdf_escape(raw) + b") Tj ET")
+    # joint (tz, x_last) search: for a fixed tz the achievable sums
+    # x_last + gend step in ulps of x_last and can SKIP the target
+    # double, but gend's granularity in tz is ~10× finer, so a few tz
+    # ulp-steps always shift the lattice onto the target
+    import math
+
+    tzv = float(_fexact(tz0).decode())  # what the parser will read back
+    cand = [tzv]
+    up = dn = tzv
+    for _ in range(8):
+        up = math.nextafter(up, math.inf)
+        dn = math.nextafter(dn, -math.inf)
+        cand += [up, dn]
+    tz, x_last, best_err = tzv, x1, None
+    for t in cand:
+        gend = ((_E2_GLYPH_W * size) / 1000.0) * (t / 100.0)
+        v = _nudge(x1 - gend, lambda v: (v + gend) - x1)
+        err = abs((v + gend) - x1)
+        if best_err is None or err < best_err:
+            tz, x_last, best_err = t, v, err
+        if err == 0.0:
+            break
+    return (head + _fexact(tz) + pos
+            + b"(" + _pdf_escape(raw[:-1]) + b") Tj 1 0 0 1 "
+            + _fexact(x_last) + b" " + _fexact(ty) + b" Tm ("
+            + _pdf_escape(raw[-1:]) + b") Tj ET")
+
+
+def gen_e2_pdf_bytes(seed: int, doc_id: int) -> bytes:
+    """Render the ficha document's word boxes (and its page-title
+    text lines) as a real PDF. Pure function of (seed, doc_id); the
+    per-doc hash switches compression, classic vs PDF-1.5 layout, and
+    shuffles the word emission order within each page."""
+    import zlib
+
+    html, text, _name = gen_e2_doc(seed, doc_id)
+    from .payload import decode_layout
+
+    height, word_pages = decode_layout(html)
+    page_texts = text.split("\f")
+
+    h = _h(seed, doc_id, "e2pdf")
+    compress = h % 2 == 0
+    pdf15 = h % 5 == 0
+    rng = random.Random(h)
+
+    page_streams: list[bytes] = []
+    for pi, words in enumerate(word_pages):
+        ops: list[bytes] = []
+        # page-title text lines (top strip, above the layout content)
+        title = page_texts[pi] if pi < len(page_texts) else ""
+        for k, line in enumerate(title.split("\n")):
+            tl_top = 8.0 + 8.0 * k
+            ty = height - tl_top - 6.0
+            raw = line.replace("‑", "\x7f").encode("cp1252")
+            ops.append(b"BT /F1 6 Tf 100 Tz 1 0 0 1 20 "
+                       + _fexact(ty) + b" Tm (" + _pdf_escape(raw)
+                       + b") Tj ET")
+        order = list(words)
+        rng.shuffle(order)              # reading order is the PARSER's job
+        for w in order:
+            ops.append(_e2_word_ops(w, height))
+        page_streams.append(b"\n".join(ops))
+
+    objs: dict[int, bytes] = {}
+    next_num = 5
+    page_nums = []
+    for s in page_streams:
+        data = zlib.compress(s) if compress else s
+        filt = b" /Filter /FlateDecode" if compress else b""
+        objs[next_num] = (b"<< /Length %d" % len(data) + filt
+                          + b" >>\nstream\n" + data + b"\nendstream")
+        objs[next_num + 1] = (
+            b"<< /Type /Page /Parent 2 0 R"
+            b" /MediaBox [0 0 612 " + _fexact(height) + b"]"
+            b" /Resources << /Font << /F1 3 0 R >> >>"
+            b" /Contents %d 0 R >>" % next_num)
+        page_nums.append(next_num + 1)
+        next_num += 2
+    objs[1] = b"<< /Type /Catalog /Pages 2 0 R >>"
+    objs[2] = (b"<< /Type /Pages /Count %d /Kids [" % len(page_nums)
+               + b" ".join(b"%d 0 R" % n for n in page_nums) + b"] >>")
+    objs[3] = (b"<< /Type /Font /Subtype /Type1 /BaseFont /SynthLayout"
+               b" /FirstChar 32 /LastChar 255 /Widths ["
+               + b" ".join(b"500" for _ in range(224)) + b"]"
+               b" /Encoding << /Type /Encoding /BaseEncoding"
+               b" /WinAnsiEncoding /Differences [127 /uni2011] >>"
+               b" /FontDescriptor 4 0 R >>")
+    objs[4] = (b"<< /Type /FontDescriptor /FontName /SynthLayout"
+               b" /Flags 32 /FontBBox [0 0 500 1000] /ItalicAngle 0"
+               b" /StemV 80 /Ascent 1000 /Descent 0 /MissingWidth 500 >>")
+
+    if pdf15:
+        return _assemble_pdf15(objs, next_num, compress)
+    out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
+    offsets: dict[int, int] = {}
+    for num in sorted(objs):
+        offsets[num] = len(out)
+        out += b"%d 0 obj\n" % num + objs[num] + b"\nendobj\n"
+    xref_off = len(out)
+    maxn = max(objs)
+    out += b"xref\n0 %d\n" % (maxn + 1) + b"0000000000 65535 f \n"
+    for num in range(1, maxn + 1):
+        out += b"%010d 00000 n \n" % offsets[num]
+    out += (b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+            % (maxn + 1, xref_off))
+    return bytes(out)
+
+
+E2_PDF_SCHEMA = "url string, pdf binary"
+
+
+def e2_pdf_corpus_df(spark, n_docs: int, seed: int = 42,
+                     partitions: int | None = None):
+    """(url, pdf) — the corpus's ficha documents rendered as layout
+    PDFs. Same doc-kind selection as `gen_row`, so the urls match the
+    pages table's `synth://ficha/...` rows exactly."""
+    import pandas as pd
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows = []
+            for i in batch["id"]:
+                doc_id = int(i)
+                kind = _h(seed, doc_id, "kind") % 13
+                if kind == 12 or kind % 2 == 0:
+                    continue            # noise / folha: no layout form
+                rows.append({"url": f"synth://ficha/{doc_id:08d}",
+                             "pdf": gen_e2_pdf_bytes(seed, doc_id)})
+            yield pd.DataFrame(rows, columns=["url", "pdf"])
+
+    rng_df = spark.range(
+        0, n_docs, 1,
+        partitions or min(512, max(8, n_docs // 64 or 1)))
+    return rng_df.mapInPandas(gen, schema=E2_PDF_SCHEMA)
 
 
 PDF_PAGES_SCHEMA = "doc_id bigint, pdf binary"

@@ -272,6 +272,69 @@ def _glyph_to_unicode(name: str) -> str | None:
     return None
 
 
+class _Font:
+    """Per-font decode + metrics state for the text state machine.
+
+    `table` (simple fonts) maps byte → unicode; `cmap` (Type0) maps
+    2-byte CID → unicode. `widths` holds glyph widths in 1/1000 text
+    space units (list[256] for simple fonts from /Widths+/FirstChar,
+    dict for CID fonts from /W), `default_width` is /MissingWidth
+    (simple, default 500 — the practical base-14 fallback) or /DW
+    (CID, default 1000). Ascent/descent come from /FontDescriptor and
+    give the word-box top/bottom the same way pdfplumber derives them
+    from pdfminer's font metrics (reference consumes exactly that
+    shape, processors/ficha_financeira_processor.py:424)."""
+
+    __slots__ = ("cid", "table", "cmap", "widths", "default_width",
+                 "ascent", "descent")
+
+    def __init__(self) -> None:
+        self.cid = False
+        self.table: list[str] = _WINANSI
+        self.cmap: dict[int, str] | None = None
+        self.widths: list[float] | dict[int, float] | None = None
+        self.default_width = 500.0
+        self.ascent = 800.0
+        self.descent = -200.0
+
+    def width_of(self, code: int) -> float:
+        w = self.widths
+        if w is None:
+            return self.default_width
+        if isinstance(w, dict):
+            return w.get(code, self.default_width)
+        return w[code] if 0 <= code < 256 else self.default_width
+
+
+_DEFAULT_FONT = _Font()
+
+
+def _parse_cid_widths(w: list) -> dict[int, float]:
+    """/W array (§9.7.4.3): `c [w1 w2 …]` assigns consecutive widths
+    from CID c; `cFirst cLast w` assigns one width to a range."""
+    out: dict[int, float] = {}
+    i = 0
+    n = len(w)
+    while i < n:
+        c = w[i]
+        if not isinstance(c, (int, float)):
+            break
+        if i + 1 < n and isinstance(w[i + 1], list):
+            for k, wv in enumerate(w[i + 1]):
+                if isinstance(wv, (int, float)):
+                    out[int(c) + k] = float(wv)
+            i += 2
+        elif i + 2 < n and isinstance(w[i + 1], (int, float)) \
+                and isinstance(w[i + 2], (int, float)):
+            lo, hi = int(c), int(w[i + 1])
+            for cid in range(lo, min(hi, lo + 65535) + 1):
+                out[cid] = float(w[i + 2])
+            i += 3
+        else:
+            break
+    return out
+
+
 # standard security handler padding string (§7.6.3.3, Table 21 note)
 _PDF_PAD = bytes.fromhex(
     "28BF4E5E4E758A4164004E56FFFA0108"
@@ -441,7 +504,9 @@ class _Doc:
         self.cache: dict[int, object] = {}
         self.compressed: dict[int, tuple[int, int]] = {}
         self._objstm_cache: dict[int, dict[int, object]] = {}
+        self._font_cache: dict[int, _Font] = {}
         self._enc_key: bytes | None = None
+        self._enc_obj_num: int | None = None
         self.offsets, self.trailer = self._load_xref()
         self._setup_encryption()
 
@@ -455,8 +520,9 @@ class _Doc:
 
         if not isinstance(self.trailer, dict):
             return
+        enc_ref = self.trailer.get("Encrypt")
         try:
-            enc = self.resolve(self.trailer.get("Encrypt"))
+            enc = self.resolve(enc_ref)
         except (ValueError, KeyError):
             return
         if isinstance(enc, tuple):
@@ -480,17 +546,36 @@ class _Doc:
             for _ in range(50):
                 key = hashlib.md5(key[:n]).digest()
         self._enc_key = key[:n]
+        # the /Encrypt dictionary's own strings (/O, /U) are exempt
+        # from decryption (§7.6.2) — remember which object it is
+        self._enc_obj_num = enc_ref.num if isinstance(enc_ref, _Ref) \
+            else None
         self.cache.clear()              # drop any pre-key parses
         self._objstm_cache.clear()
 
-    def _decrypt(self, num: int, raw: bytes) -> bytes:
+    def _obj_key(self, num: int, gen: int) -> bytes:
         """Per-object RC4 key (Algorithm 1): MD5(file key + objnum LE3
-        + gen LE2), truncated to keylen+5 ≤ 16."""
+        + generation LE2), truncated to keylen+5 ≤ 16."""
         import hashlib
 
         k = hashlib.md5(self._enc_key + num.to_bytes(3, "little")
-                        + b"\x00\x00").digest()
-        return _rc4(k[:min(len(self._enc_key) + 5, 16)], raw)
+                        + (gen & 0xFFFF).to_bytes(2, "little")).digest()
+        return k[:min(len(self._enc_key) + 5, 16)]
+
+    def _decrypt(self, num: int, raw: bytes, gen: int = 0) -> bytes:
+        return _rc4(self._obj_key(num, gen), raw)
+
+    def _decrypt_strings(self, v, key: bytes):
+        """Strings in encrypted documents are RC4'd with the containing
+        object's key, same as streams (§7.6.2; the /Encrypt dictionary
+        and the file /ID are exempt and handled at the call site)."""
+        if isinstance(v, bytes):
+            return _rc4(key, v)
+        if isinstance(v, dict):
+            return {k: self._decrypt_strings(x, key) for k, x in v.items()}
+        if isinstance(v, list):
+            return [self._decrypt_strings(x, key) for x in v]
+        return v
 
     # -- xref -------------------------------------------------------------
     def _load_xref(self) -> tuple[dict[int, int], dict]:
@@ -536,6 +621,7 @@ class _Doc:
                       ) -> tuple[dict, int | None]:
         buf = self.buf
         i = _skip_ws(buf, i + 4)
+        section: list[tuple[int, int]] = []
         while True:
             ms = _XREF_SUB_RE.match(buf, i)
             if not ms:
@@ -546,10 +632,8 @@ class _Doc:
                 me = _XREF_ENT_RE.match(buf, i)
                 if not me:
                     raise ValueError("bad xref entry")
-                num = start + k
-                if (me.group(3) == b"n" and num not in offsets
-                        and num not in self.compressed):
-                    offsets[num] = int(me.group(1))
+                if me.group(3) == b"n":
+                    section.append((start + k, int(me.group(1))))
                 i = me.end()
         i = _skip_ws(buf, i)
         if not buf.startswith(b"trailer", i):
@@ -557,14 +641,19 @@ class _Doc:
         trailer, _ = _parse_value(buf, i + 7)
         xs = trailer.get("XRefStm")
         if isinstance(xs, (int, float)):
-            # hybrid-reference file (§7.5.8.4): the classic table lists
-            # ObjStm-packed objects as free; their real (type-2) entries
-            # live in this xref stream. A broken hybrid stream degrades
-            # to whatever the classic table alone resolves.
+            # hybrid-reference file (§7.5.8.4): entries in the /XRefStm
+            # stream take PRECEDENCE over this classic section, so it
+            # is processed first and the classic 'n' entries below only
+            # fill numbers the stream left undefined. (First-wins still
+            # holds across /Prev generations — newest section first.)
+            # A broken hybrid stream degrades to the classic table.
             try:
                 self._xref_stream(_skip_ws(buf, int(xs)), offsets)
             except (ValueError, KeyError, OverflowError, zlib.error):
                 pass
+        for num, off in section:
+            if num not in offsets and num not in self.compressed:
+                offsets[num] = off
         prev = trailer.get("Prev")
         return trailer, int(prev) if isinstance(prev, (int, float)) else None
 
@@ -700,7 +789,17 @@ class _Doc:
         m = _OBJ_RE.match(buf, i)
         if not m:
             raise ValueError(f"no obj header for {num}")
+        gen = int(m.group(2))
         val, i = _parse_value(buf, m.end())
+        # encrypted documents: strings decrypt with the containing
+        # object's key (§7.6.2) — except inside the /Encrypt dict
+        # itself and the cross-reference stream dict
+        decrypt_obj = (
+            self._enc_key is not None and num != self._enc_obj_num
+            and not (isinstance(val, dict)
+                     and str(val.get("Type", "")) == "XRef"))
+        if decrypt_obj:
+            val = self._decrypt_strings(val, self._obj_key(num, gen))
         i = _skip_ws(buf, i)
         if buf.startswith(b"stream", i):
             i += 6
@@ -713,11 +812,10 @@ class _Doc:
                 end = buf.find(b"endstream", i)
                 length = max(end - i, 0)
             raw = buf[i:i + length]
-            # encrypted documents: streams are RC4'd per object (the
-            # cross-reference stream itself is never encrypted §7.5.8.2)
-            if (self._enc_key is not None
-                    and str(val.get("Type", "")) != "XRef"):
-                raw = self._decrypt(num, raw)
+            # streams RC4 per object too (the cross-reference stream
+            # itself is never encrypted §7.5.8.2)
+            if decrypt_obj:
+                raw = self._decrypt(num, raw, gen)
             return (val, raw)
         return val
 
@@ -810,20 +908,40 @@ class _Doc:
             return []
         out: list[dict] = []
 
-        def walk(node, depth: int = 0) -> None:
+        def walk(node, inherited: dict, depth: int = 0) -> None:
             node = self.resolve(node)
             if isinstance(node, tuple):
                 node = node[0]
             if not isinstance(node, dict) or depth > 64:
                 return
+            # /Resources and /MediaBox are inheritable page attributes
+            # (§7.7.3.4) — carry them down the /Kids chain
+            inh = inherited
+            for key in ("Resources", "MediaBox"):
+                if key in node:
+                    if inh is inherited:
+                        inh = dict(inherited)
+                    inh[key] = node[key]
             if str(node.get("Type", "")) == "Page":
+                for key, val in inh.items():
+                    node.setdefault(key, val)
                 out.append(node)
                 return
             for kid in self.resolve(node.get("Kids")) or []:
-                walk(kid, depth + 1)
+                walk(kid, inh, depth + 1)
 
-        walk(root.get("Pages"))
+        walk(root.get("Pages"), {})
         return out
+
+    def page_height(self, page: dict) -> float:
+        """MediaBox height in points (default US-Letter 792)."""
+        mb = self.resolve(page.get("MediaBox"))
+        if isinstance(mb, list) and len(mb) == 4:
+            try:
+                return float(mb[3]) - float(mb[1])
+            except (TypeError, ValueError):
+                pass
+        return 792.0
 
     def page_content(self, page: dict) -> bytes:
         cont = self.resolve(page.get("Contents"))
@@ -839,25 +957,72 @@ class _Doc:
     def page_encoding(self, page: dict) -> list[str] | dict[int, str]:
         """Decoder for the page's (single) font: a byte → unicode table
         for simple fonts, or a CID → unicode map (dict) for composite
-        /Type0 fonts, built from the font's /ToUnicode CMap (§9.10.3:
-        bfchar / bfrange blocks, UTF-16BE destinations)."""
+        /Type0 fonts. Legacy merged view of `page_fonts` — the word-box
+        path uses the per-font objects directly (Tf switches fonts)."""
+        fonts = self.page_fonts(page)
         table = list(_WINANSI)
+        for f in fonts.values():
+            if f.cid:
+                if f.cmap:
+                    return f.cmap
+                continue
+            if f.table is not _WINANSI:
+                for code in range(256):
+                    if f.table[code] != _WINANSI[code]:
+                        table[code] = f.table[code]
+        return table
+
+    def page_fonts(self, page: dict) -> dict[str, "_Font"]:
+        """Resource-name → _Font map for a page: the byte/CID → unicode
+        decoder plus the glyph metrics the word-box emitter needs
+        (/Widths + /FirstChar or /W + /DW, /FontDescriptor /Ascent
+        /Descent /MissingWidth). Cached per indirect font object."""
+        out: dict[str, _Font] = {}
         res = self.resolve(page.get("Resources")) or {}
         fonts = self.resolve(res.get("Font")) or {}
-        for ref in fonts.values():
+        if not isinstance(fonts, dict):
+            return out
+        for name, ref in fonts.items():
+            key = ref.num if isinstance(ref, _Ref) else None
+            if key is not None and key in self._font_cache:
+                out[str(name)] = self._font_cache[key]
+                continue
             font = self.resolve(ref)
             if isinstance(font, tuple):
                 font = font[0]
             if not isinstance(font, dict):
                 continue
-            if str(font.get("Subtype", "")) == "Type0":
-                cmap = self._to_unicode_cmap(font.get("ToUnicode"))
-                if cmap is not None:
-                    return cmap
-                continue
+            f = self._font_info(font)
+            if key is not None:
+                self._font_cache[key] = f
+            out[str(name)] = f
+        return out
+
+    def _font_info(self, font: dict) -> "_Font":
+        f = _Font()
+        desc_font = font
+        if str(font.get("Subtype", "")) == "Type0":
+            f.cid = True
+            f.cmap = self._to_unicode_cmap(font.get("ToUnicode"))
+            f.default_width = 1000.0            # /DW default (§9.7.4.3)
+            kids = self.resolve(font.get("DescendantFonts"))
+            kid = self.resolve(kids[0]) if isinstance(kids, list) and kids \
+                else None
+            if isinstance(kid, tuple):
+                kid = kid[0]
+            if isinstance(kid, dict):
+                desc_font = kid
+                dw = self.resolve(kid.get("DW"))
+                if isinstance(dw, (int, float)):
+                    f.default_width = float(dw)
+                w = self.resolve(kid.get("W"))
+                if isinstance(w, list):
+                    f.widths = _parse_cid_widths(w)
+        else:
             enc = self.resolve(font.get("Encoding"))
             if isinstance(enc, dict):
                 diffs = self.resolve(enc.get("Differences")) or []
+                table = list(_WINANSI)
                 code = 0
                 for item in diffs:
                     if isinstance(item, (int, float)):
@@ -867,9 +1032,34 @@ class _Doc:
                         if 0 <= code < 256:
                             table[code] = u if u is not None else "�"
                         code += 1
+                f.table = table
             # name encodings: WinAnsiEncoding is the base table already;
             # MacRoman/Standard differ only outside ASCII — out of scope
-        return table
+        fd = self.resolve(desc_font.get("FontDescriptor"))
+        if isinstance(fd, tuple):
+            fd = fd[0]
+        if isinstance(fd, dict):
+            a = self.resolve(fd.get("Ascent"))
+            d = self.resolve(fd.get("Descent"))
+            mw = self.resolve(fd.get("MissingWidth"))
+            if isinstance(a, (int, float)):
+                f.ascent = float(a)
+            if isinstance(d, (int, float)):
+                f.descent = float(d)
+            if not f.cid and isinstance(mw, (int, float)):
+                f.default_width = float(mw)
+        if not f.cid:
+            first = self.resolve(font.get("FirstChar"))
+            widths = self.resolve(font.get("Widths"))
+            if isinstance(first, int) and isinstance(widths, list):
+                table_w = [f.default_width] * 256
+                for k, w in enumerate(widths):
+                    w = self.resolve(w)
+                    if isinstance(w, (int, float)) \
+                            and 0 <= first + k < 256:
+                        table_w[first + k] = float(w)
+                f.widths = table_w
+        return f
 
     def _to_unicode_cmap(self, ref) -> dict[int, str] | None:
         """Parse a /ToUnicode CMap stream into {2-byte CID → str}."""
@@ -980,39 +1170,106 @@ def _tokenize_content(buf: bytes):
                 i += 1                          # unknown byte: skip
 
 
-def _extract_page(content: bytes, enc_table: list[str] | dict[int, str]
-                  ) -> tuple[list[tuple[float, float, str]], int, int]:
+# A text segment: one show op's glyph clusters with their x-extents.
+# (y_baseline, clusters, x_starts, x_ends, ascent_pts, descent_pts) —
+# clusters align 1:1 with the x arrays (a CID may decode to a
+# multi-codepoint string, so clusters are atomic units, not chars).
+_Seg = tuple[float, list[str], list[float], list[float], float, float]
+
+# pdfplumber's default x_tolerance: a horizontal gap wider than this
+# between adjacent glyphs starts a new word (and, when neither side
+# already carries an explicit space, inserts one into the line text —
+# the TJ-kerning-as-word-spacing case)
+_X_TOL = 3.0
+
+
+def _extract_page(content: bytes, fonts: dict[str, _Font]
+                  ) -> tuple[list[_Seg], int, int]:
     """Run the text-state machine over one page's content.
-    Returns (shows, n_ops, decode_failures): shows are
-    (y, x, text) at line-start coordinates, in stream order."""
-    lx = ly = 0.0
+
+    Tracks the full character-positioning state — current font (Tf),
+    size, horizontal scale (Tz), char/word spacing (Tc/Tw), leading
+    (TL/TD), line starts (Td/TD/Tm/T*) — and accumulates each shown
+    glyph's x-advance from the font's width metrics, so shows emit
+    positioned glyph runs instead of anchor-point text. Advance math
+    (canonical order, mirrored by the datagen writer twin):
+        glyph_w   = (width_of(code) * size) / 1000.0
+        glyph_end = x + glyph_w * (tz / 100.0)
+        x_next    = x + (glyph_w + tc [+ tw if byte 32]) * (tz / 100.0)
+    TJ numbers move x by -(n * size) / 1000.0 * (tz / 100.0)."""
+    first_font = next(iter(fonts.values()), _DEFAULT_FONT)
+    font = first_font
+    size = 0.0
+    tz = 100.0
+    tc = tw = 0.0
     leading = 0.0
-    shows: list[tuple[float, float, str]] = []
+    lx = ly = 0.0                       # line start
+    x = y = 0.0                         # current point
+    segs: list[_Seg] = []
     operands: list = []
     n_ops = failures = 0
+    scale = 1.0
+    # per-byte advance tables for the current simple-font state
+    # (memoized — Tf/Tz per show is common and the rebuild is 256 ops)
+    _tables: dict[tuple, tuple[list[float], list[float]]] = {}
+    gend_cache: list[float] = [0.0] * 256
+    adv_cache: list[float] = [0.0] * 256
 
-    cid_mode = isinstance(enc_table, dict)
+    def rebuild() -> None:
+        nonlocal scale, gend_cache, adv_cache
+        scale = tz / 100.0
+        if font.cid:
+            return
+        key = (id(font), size, tz, tc, tw)
+        hit = _tables.get(key)
+        if hit is None:
+            gend, adv = [], []
+            for code in range(256):
+                gw = (font.width_of(code) * size) / 1000.0
+                gend.append(gw * scale)
+                adv.append((gw + tc + (tw if code == 32 else 0.0))
+                           * scale)
+            hit = _tables[key] = (gend, adv)
+        gend_cache, adv_cache = hit
 
-    def decode(raw: bytes) -> str:
-        nonlocal failures
-        out = []
-        if cid_mode:                    # composite font: 2-byte CIDs
-            if len(raw) % 2:
+    rebuild()
+
+    def emit(raw: bytes) -> None:
+        nonlocal x, failures
+        clusters: list[str] = []
+        xs0: list[float] = []
+        xs1: list[float] = []
+        if font.cid:
+            cmap = font.cmap or {}
+            data = raw
+            if len(data) % 2:
                 failures += 1
-                raw = raw[:-1]
-            for i in range(0, len(raw), 2):
-                ch = enc_table.get((raw[i] << 8) | raw[i + 1])
+                data = data[:-1]
+            for i in range(0, len(data), 2):
+                cid = (data[i] << 8) | data[i + 1]
+                ch = cmap.get(cid)
                 if ch is None:
                     failures += 1
                     ch = "�"
-                out.append(ch)
-            return "".join(out)
-        for b in raw:
-            ch = enc_table[b]
-            if ch == "�":
-                failures += 1
-            out.append(ch)
-        return "".join(out)
+                gw = (font.width_of(cid) * size) / 1000.0
+                xs0.append(x)
+                xs1.append(x + gw * scale)
+                clusters.append(ch)
+                x = x + (gw + tc) * scale
+        else:
+            table = font.table
+            for b in raw:
+                ch = table[b]
+                if ch == "�":
+                    failures += 1
+                xs0.append(x)
+                xs1.append(x + gend_cache[b])
+                clusters.append(ch)
+                x = x + adv_cache[b]
+        if clusters:
+            segs.append((y, clusters, xs0, xs1,
+                         (font.ascent * size) / 1000.0,
+                         (font.descent * size) / 1000.0))
 
     for kind, val in _tokenize_content(content):
         if kind != "op":
@@ -1022,44 +1279,140 @@ def _extract_page(content: bytes, enc_table: list[str] | dict[int, str]
         op = val
         try:
             if op == "BT":
-                lx = ly = 0.0
+                lx = ly = x = y = 0.0
+            elif op == "Tf" and len(operands) >= 2:
+                size = float(operands[-1][1])
+                if operands[-2][0] == "name":
+                    font = fonts.get(operands[-2][1], first_font)
+                rebuild()
+            elif op == "Tz" and operands:
+                tz = float(operands[-1][1])
+                rebuild()
+            elif op == "Tc" and operands:
+                tc = float(operands[-1][1])
+                rebuild()
+            elif op == "Tw" and operands:
+                tw = float(operands[-1][1])
+                rebuild()
             elif op == "Td" and len(operands) >= 2:
                 lx += operands[-2][1]
                 ly += operands[-1][1]
+                x, y = lx, ly
             elif op == "TD" and len(operands) >= 2:
                 leading = -operands[-1][1]
                 lx += operands[-2][1]
                 ly += operands[-1][1]
+                x, y = lx, ly
             elif op == "TL" and operands:
                 leading = operands[-1][1]
             elif op == "Tm" and len(operands) >= 6:
                 lx = operands[-2][1]
                 ly = operands[-1][1]
+                x, y = lx, ly
             elif op == "T*":
                 ly -= leading
+                x, y = lx, ly
             elif op == "Tj" and operands and operands[-1][0] == "str":
-                shows.append((ly, lx, decode(operands[-1][1])))
+                emit(operands[-1][1])
             elif op == "'" and operands and operands[-1][0] == "str":
                 ly -= leading
-                shows.append((ly, lx, decode(operands[-1][1])))
+                x, y = lx, ly
+                emit(operands[-1][1])
             elif op == '"' and operands and operands[-1][0] == "str":
+                if len(operands) >= 3:
+                    tw = float(operands[-3][1])
+                    tc = float(operands[-2][1])
+                    rebuild()
                 ly -= leading
-                shows.append((ly, lx, decode(operands[-1][1])))
+                x, y = lx, ly
+                emit(operands[-1][1])
             elif op == "TJ" and operands and operands[-1][0] == "arr":
-                txt = "".join(decode(e) for e in operands[-1][1]
-                              if isinstance(e, bytes))
-                shows.append((ly, lx, txt))
-        except (TypeError, IndexError):
+                for e in operands[-1][1]:
+                    if isinstance(e, bytes):
+                        emit(e)
+                    elif isinstance(e, (int, float)):
+                        x = x - ((e * size) / 1000.0) * scale
+        except (TypeError, IndexError, ValueError):
             failures += 1
         operands.clear()
-    return shows, n_ops, failures
+    return segs, n_ops, failures
+
+
+def _assemble_page(segs: list[_Seg], height: float = 0.0,
+                   doctop0: float = 0.0, want_words: bool = False
+                   ) -> tuple[list[str], list[tuple]]:
+    """Segments → (line texts top-to-bottom, word boxes).
+
+    Lines group by baseline y rounded to 0.1 pt; within a line glyph
+    clusters sort by x start (stable, so zero-advance degenerate shows
+    keep stream order). Line text inserts a single space where the gap
+    between adjacent glyphs exceeds `_X_TOL` and neither side already
+    is a space (kerning- or positioning-as-word-spacing). Words split
+    at explicit ASCII spaces and at the same gap rule — the
+    `extract_words` shape the reference's layout engine consumes
+    (text, x0, x1, top, bottom, doctop); top/bottom derive from the
+    font's ascent/descent exactly as pdfplumber does. NBSP does NOT
+    split a word (it is a glyph, not an inter-word gap)."""
+    lines: dict[float, list[_Seg]] = {}
+    for seg in segs:
+        lines.setdefault(round(seg[0], 1), []).append(seg)
+    texts: list[str] = []
+    words: list[tuple] = []
+    for key in sorted(lines, reverse=True):
+        items: list[tuple[float, float, str, float, float]] = []
+        for y, clusters, xs0, xs1, apts, dpts in lines[key]:
+            top = height - (y + apts)
+            bottom = height - (y + dpts)
+            for i, cl in enumerate(clusters):
+                items.append((xs0[i], xs1[i], cl, top, bottom))
+        items.sort(key=lambda it: it[0])
+        parts: list[str] = []
+        prev_x1: float | None = None
+        prev_cl = ""
+        # current word accumulator
+        w_text: list[str] = []
+        w_x0 = w_x1 = w_top = w_bot = 0.0
+
+        def flush() -> None:
+            nonlocal w_text
+            if w_text:
+                words.append(("".join(w_text), w_x0, w_x1, w_top,
+                              w_bot, doctop0 + w_top))
+                w_text = []
+
+        for x0c, x1c, cl, top, bottom in items:
+            gap_break = (prev_x1 is not None and x0c - prev_x1 > _X_TOL)
+            if gap_break and not cl.startswith(" ") \
+                    and not prev_cl.endswith(" "):
+                parts.append(" ")
+            parts.append(cl)
+            if want_words:
+                if cl == " ":
+                    flush()
+                else:
+                    if w_text and gap_break:
+                        flush()
+                    if not w_text:
+                        w_x0, w_x1 = x0c, x1c
+                        w_top, w_bot = top, bottom
+                    else:
+                        w_x1 = max(w_x1, x1c)
+                        w_top = min(w_top, top)
+                        w_bot = max(w_bot, bottom)
+                    w_text.append(cl)
+            prev_x1 = x1c if prev_x1 is None else max(prev_x1, x1c)
+            prev_cl = cl
+        if want_words:
+            flush()
+        texts.append("".join(parts))
+    return texts, words
 
 
 def parse_pdf_doc(pdf: bytes) -> list[dict]:
     """One document → list of page dicts
-    (page_idx, text, n_lines, n_ops, decode_failures, line y order).
-    Lines = shows grouped by y (rounded to 0.1 pt), top-to-bottom;
-    segments within a line concatenate in stream order."""
+    (page_idx, text, n_lines, n_ops, decode_failures).
+    Lines = glyph runs grouped by baseline y (rounded to 0.1 pt),
+    top-to-bottom; within a line glyphs order by x position."""
     if not pdf:
         return []
     try:
@@ -1076,24 +1429,66 @@ def parse_pdf_doc(pdf: bytes) -> list[dict]:
     for idx, page in enumerate(pages):
         try:
             content = doc.page_content(page)
-            enc = doc.page_encoding(page)
-            shows, n_ops, failures = _extract_page(content, enc)
+            fonts = doc.page_fonts(page)
+            segs, n_ops, failures = _extract_page(content, fonts)
+            texts, _ = _assemble_page(segs)
         except Exception:
             out.append(dict(page_idx=idx, text="", n_lines=0, n_ops=0,
                             decode_failures=1))
             continue
-        lines: dict[float, list[str]] = {}
-        for y, _x, txt in shows:
-            lines.setdefault(round(y, 1), []).append(txt)
-        ordered = sorted(lines.items(), key=lambda kv: -kv[0])
         out.append(dict(
             page_idx=idx,
-            text="\n".join("".join(parts) for _, parts in ordered),
-            n_lines=len(ordered),
+            text="\n".join(texts),
+            n_lines=len(texts),
             n_ops=n_ops,
             decode_failures=failures,
         ))
     return out
+
+
+def parse_pdf_layout_doc(pdf: bytes) -> dict:
+    """One document → word boxes + page texts — the real-bytes front
+    door for the Engine-2 layout kernel.
+
+    Returns {pages: [(words, text)], height, n_ops, decode_failures}
+    where words are `extract_words`-shaped tuples
+    (text, x0, x1, top, bottom, doctop) per page — the exact input
+    contract of the reference's layout engine
+    (processors/ficha_financeira_processor.py:424) — and doctop is
+    cumulative over preceding page heights, as pdfplumber defines it."""
+    empty = dict(pages=[], height=0.0, n_ops=0, decode_failures=0)
+    if not pdf:
+        return empty
+    try:
+        doc = _Doc(pdf)
+        pages = doc.pages()
+    except Exception:
+        pages = []
+    if not pages:
+        return dict(pages=[], height=0.0, n_ops=0, decode_failures=1)
+    out_pages: list[tuple[list[tuple], str]] = []
+    doctop0 = 0.0
+    height0 = 0.0
+    n_ops_total = failures_total = 0
+    for idx, page in enumerate(pages):
+        h = doc.page_height(page)
+        if idx == 0:
+            height0 = h
+        try:
+            content = doc.page_content(page)
+            fonts = doc.page_fonts(page)
+            segs, n_ops, failures = _extract_page(content, fonts)
+            texts, words = _assemble_page(segs, height=h,
+                                          doctop0=doctop0,
+                                          want_words=True)
+        except Exception:
+            texts, words, n_ops, failures = [], [], 0, 1
+        out_pages.append((words, "\n".join(texts)))
+        n_ops_total += n_ops
+        failures_total += failures
+        doctop0 += h
+    return dict(pages=out_pages, height=height0, n_ops=n_ops_total,
+                decode_failures=failures_total)
 
 
 PARSED_SCHEMA = T.StructType([
@@ -1167,3 +1562,50 @@ def parse_pdf_pages(df: DataFrame, pdf_col: str = "pdf",
                 rows, columns=[f.name for f in PARSED_SCHEMA.fields])
 
     return df.select(id_col, pdf_col).mapInPandas(run, PARSED_SCHEMA)
+
+
+LAYOUT_SCHEMA = T.StructType([
+    T.StructField("url", T.StringType()),
+    T.StructField("html", T.BinaryType()),
+    T.StructField("text", T.StringType()),
+    T.StructField("n_pages", T.IntegerType()),
+    T.StructField("n_words", T.IntegerType()),
+    T.StructField("decode_failures", T.IntegerType()),
+])
+
+
+def parse_pdf_layout(df: DataFrame, pdf_col: str = "pdf",
+                     key_col: str = "url") -> DataFrame:
+    """(url, html, text, n_pages, n_words, decode_failures) — parse raw
+    PDF bytes into the PAGES-TABLE CONTRACT the Engine-2 layout kernel
+    consumes: `html` is the WBX2 columnar word-box payload (per-page
+    `extract_words` arrays), `text` is the per-page extracted text
+    joined with form-feeds (page 1 feeds the person-name scan).
+
+    This closes the bytes→layout gap: `engine2.extract_ficha(result)`
+    runs the reference's headline Ficha Financeira extraction directly
+    from PDF bytes. Plan shape: scan → mapInPandas, zero exchanges —
+    same scale contract as the text front door."""
+    from ..payload import encode_layout
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for key, raw in zip(pdf[key_col], pdf[pdf_col]):
+                parsed = parse_pdf_layout_doc(
+                    bytes(raw) if raw is not None else b"")
+                pages = parsed["pages"]
+                words_pages = [p[0] for p in pages]
+                rows.append({
+                    "url": key,
+                    "html": encode_layout(parsed["height"], words_pages)
+                            if pages else b"",
+                    "text": "\f".join(p[1] for p in pages),
+                    "n_pages": len(pages),
+                    "n_words": sum(len(w) for w in words_pages),
+                    "decode_failures": parsed["decode_failures"],
+                })
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in LAYOUT_SCHEMA.fields])
+
+    return df.select(key_col, pdf_col).mapInPandas(run, LAYOUT_SCHEMA)

@@ -1424,26 +1424,55 @@ def decontaminate_13gram(spark, sf_dir):
     return contamination_flags(corpus, ev, eval_id_col="eval_id", k=13)
 
 
-@q("multimodal_frame_plan", """
-WITH media AS (
+@q("multimodal", f"""
+SELECT 'features' AS src, doc_id, media_type, n_bytes, feature_fp,
+       decode_ok, CAST(NULL AS BIGINT) AS frame_ts_ms
+FROM read_parquet('{GOLDEN_DIR}/multimodal_features.parquet')
+UNION ALL
+SELECT 'frames' AS src, doc_id, CAST(NULL AS VARCHAR) AS media_type,
+       CAST(NULL AS BIGINT) AS n_bytes,
+       CAST(NULL AS VARCHAR) AS feature_fp,
+       CAST(NULL AS BOOLEAN) AS decode_ok, frame_ts_ms
+FROM (
+  WITH media AS (
+    SELECT doc_id,
+           ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1]
+             AS media_type,
+           (doc_id * 1299709 + 19) % 600000 + 1 AS duration_ms
+    FROM documents
+  )
   SELECT doc_id,
-         ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS media_type,
-         (doc_id * 1299709 + 19) % 600000 + 1 AS duration_ms
-  FROM documents
+         unnest(generate_series(0, duration_ms, 1000)) AS frame_ts_ms
+  FROM media WHERE media_type = 'video'
 )
-SELECT doc_id,
-       unnest(generate_series(0, duration_ms, 1000)) AS frame_ts_ms
-FROM media WHERE media_type = 'video'
 """)
-def multimodal_frame_plan(spark, sf_dir):
-    """Video frame-sampling fan-out (the relational stage that precedes
-    the decode kernel): one row per frame timestamp, every 1000 ms."""
-    from .ops.multimodal import frame_sample_plan, synth_media_table
+def multimodal(spark, sf_dir):
+    """Multimodal tier as one driver row (branch-tagged union, same
+    pattern as text_quality — both halves stay hash-checked):
+    `features` = the decode/feature kernel over binary media columns
+    (golden-parquet oracle), `frames` = the video frame-sampling
+    fan-out that precedes the decode kernel (SQL oracle). `feature
+    array<float>` itself is not driver-canonicalizable — the md5
+    fingerprint stands in; the raw array is covered by
+    tests/test_ops.py."""
+    from .ops.multimodal import (extract_features, frame_sample_plan,
+                                 synth_media_table)
 
     d = T(spark, sf_dir, "documents")
     media = synth_media_table(spark, d)
-    return frame_sample_plan(media, every_ms=1000).select(
-        "doc_id", F.col("frame_ts_ms").cast("bigint").alias("frame_ts_ms"))
+    feats = extract_features(media, dim=16).select(
+        F.lit("features").alias("src"),
+        "doc_id", "media_type", "n_bytes", "feature_fp", "decode_ok",
+        F.lit(None).cast("bigint").alias("frame_ts_ms"))
+    frames = frame_sample_plan(media, every_ms=1000).select(
+        F.lit("frames").alias("src"),
+        "doc_id",
+        F.lit(None).cast("string").alias("media_type"),
+        F.lit(None).cast("bigint").alias("n_bytes"),
+        F.lit(None).cast("string").alias("feature_fp"),
+        F.lit(None).cast("boolean").alias("decode_ok"),
+        F.col("frame_ts_ms").cast("bigint").alias("frame_ts_ms"))
+    return feats.unionByName(frames)
 
 
 def _wrap_html_col(doc_id_col, text_col):
@@ -1492,14 +1521,23 @@ def extract_main_content_q(spark, sf_dir):
         "n_nodes", "n_kept")
 
 
-@q("multimodal_features", _golden_sql("multimodal_features"))
-def multimodal_features(spark, sf_dir):
-    from .ops.multimodal import extract_features, synth_media_table
+@q("pdf_extract_e2", _golden_sql("extract_e2_proventos"))
+def pdf_extract_e2(spark, sf_dir):
+    """The reference's HEADLINE query from real bytes: ficha documents
+    rendered as positioned-text PDFs (datagen.gen_e2_pdf_bytes,
+    shuffled word emission order) → from-scratch parse to word boxes
+    (font /Widths + /FontDescriptor metrics → extract_words tuples,
+    ops/pdfstream.parse_pdf_layout) → the full Engine-2 layout kernel
+    → vacation-adjusted zero-filled PROVENTOS series.
 
-    d = T(spark, sf_dir, "documents")
-    media = synth_media_table(spark, d)
-    # raw `feature array<float>` is not canonicalizable by the driver
-    # (unhashable in pandas sorts) — expose the md5 fingerprint instead;
-    # the raw array stays covered by tests/test_ops.py
-    return extract_features(media, dim=16).select(
-        "doc_id", "media_type", "n_bytes", "feature_fp", "decode_ok")
+    The oracle is deliberately THE SAME golden parquet as
+    `extract_e2_proventos`: the PDF-bytes path must reproduce the
+    WBX2 path's output hash byte-for-byte."""
+    from .datagen import e2_pdf_corpus_df
+    from .engine2 import pipeline as e2
+    from .ops.pdfstream import parse_pdf_layout
+
+    pdfs = e2_pdf_corpus_df(spark, _corpus_docs_for(sf_dir))
+    adj = e2.values_table(
+        e2.extract_ficha(parse_pdf_layout(pdfs), adjust_vacation=True))
+    return e2.default_series_table(adj, "3123-Base", (2019, 1), (2021, 12))

@@ -70,7 +70,13 @@ def _canon(v):
     "extract_audit_metrics",
 ])
 def test_golden_matches_spark_query(spark, goldens, name):
-    sdf = entrymod.queries()[name](spark, SF_DIR)
+    if name == "multimodal_features":
+        # merged into the branch-tagged `multimodal` driver row (r05);
+        # the golden still pins the features branch verbatim
+        sdf = (entrymod.queries()["multimodal"](spark, SF_DIR)
+               .filter("src = 'features'").drop("src", "frame_ts_ms"))
+    else:
+        sdf = entrymod.queries()[name](spark, SF_DIR)
     scols = list(sdf.columns)
     srows = sorted((tuple(_canon(v) for v in r) for r in sdf.collect()),
                    key=repr)
@@ -87,7 +93,11 @@ def test_golden_matches_spark_query(spark, goldens, name):
 
 def test_committed_goldens_exist_and_load():
     con = duckdb.connect()
-    for name in ["multimodal_features", "dedup_minhash_lsh", "dedup_simhash",
+    # the driver registers every testdata table as a view; the merged
+    # `multimodal` oracle needs `documents` for its frames branch
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{SF_DIR}/documents.parquet')")
+    for name in ["multimodal", "dedup_minhash_lsh", "dedup_simhash",
                  "sim_lsh_topk", "extract_e1_values",
                  "extract_e1_person_names", "extract_e2_proventos",
                  "extract_audit_metrics"]:

@@ -434,6 +434,120 @@ def test_pdf_front_door_shuffle_free(spark, sf_dir):
     assert "Exchange" not in plan
 
 
+def test_hybrid_xrefstm_takes_precedence_over_stale_classic():
+    """§7.5.8.4: when a hybrid file's classic table carries a stale
+    'n' entry for an object the /XRefStm stream redefines, the stream
+    entry wins (no fallback scan involved — both offsets hold valid
+    headers for the same object number)."""
+    import zlib
+
+    from pdf_extractor_spark.ops.pdfstream import _Doc
+
+    def content(txt: bytes) -> bytes:
+        body = b"BT /F1 11 Tf 72 720 Td (" + txt + b") Tj ET"
+        return (b"<< /Length %d >>\nstream\n" % len(body) + body
+                + b"\nendstream")
+
+    out = bytearray(b"%PDF-1.5\n")
+    offs: dict[str, int] = {}
+    objs = [(1, b"<< /Type /Catalog /Pages 2 0 R >>", "1"),
+            (2, b"<< /Type /Pages /Count 1 /Kids [3 0 R] >>", "2"),
+            (3, b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>", "3"),
+            (4, content(b"stale"), "4old"),
+            (4, content(b"fresh"), "4new")]
+    for num, data, tag in objs:
+        offs[tag] = len(out)
+        out += b"%d 0 obj\n" % num + data + b"\nendobj\n"
+    # xref STREAM: object 5; type-1 rows, /W [1 4 2]
+    xref_off = len(out)
+    rows = bytearray()
+    stream_offs = [0, offs["1"], offs["2"], offs["3"], offs["4new"],
+                   xref_off]
+    for num, o in enumerate(stream_offs):
+        t = 0 if num == 0 else 1
+        rows += bytes([t]) + o.to_bytes(4, "big") + b"\x00\x00"
+    xdata = zlib.compress(bytes(rows))
+    out += (b"5 0 obj\n<< /Type /XRef /Size 6 /W [1 4 2] /Root 1 0 R"
+            b" /Filter /FlateDecode /Length %d >>\nstream\n" % len(xdata)
+            + xdata + b"\nendstream\nendobj\n")
+    # classic table (what startxref points at): STALE offset for 4
+    classic_off = len(out)
+    out += b"xref\n0 6\n0000000000 65535 f \n"
+    for tag in ("1", "2", "3", "4old"):
+        out += b"%010d 00000 n \n" % offs[tag]
+    out += b"%010d 00000 n \n" % xref_off
+    out += (b"trailer\n<< /Size 6 /Root 1 0 R /XRefStm %d >>\n"
+            b"startxref\n%d\n%%%%EOF\n" % (xref_off, classic_off))
+
+    d = _Doc(bytes(out))
+    assert d.offsets[4] == offs["4new"]     # stream entry won
+    parsed = parse_pdf_doc(bytes(out))
+    assert [p["text"] for p in parsed] == ["fresh"]
+
+
+def test_encrypted_strings_and_generation_numbers():
+    """Object-level strings in encrypted documents RC4-decrypt with
+    the per-object key, and the key derives from the object's REAL
+    generation number (not a hardcoded 0). The /Encrypt dictionary's
+    own strings stay exempt."""
+    import hashlib
+
+    from pdf_extractor_spark.datagen import _W_PDF_PAD, _w_rc4
+    from pdf_extractor_spark.ops.pdfstream import _Doc
+
+    doc_id_bytes = hashlib.md5(b"encstr-test").digest()
+    owner_o = _w_rc4(hashlib.md5(_W_PDF_PAD).digest()[:5], _W_PDF_PAD)
+    p = (-1) & 0xFFFFFFFF
+    key = hashlib.md5(_W_PDF_PAD + owner_o + p.to_bytes(4, "little")
+                      + doc_id_bytes).digest()[:5]
+    u = _w_rc4(key, _W_PDF_PAD)
+
+    def objkey(num: int, gen: int) -> bytes:
+        return hashlib.md5(key + num.to_bytes(3, "little")
+                           + gen.to_bytes(2, "little")).digest()[:10]
+
+    body = b"BT /F1 11 Tf 72 720 Td (secret words) Tj ET"
+    enc_body = _w_rc4(objkey(4, 7), body)       # object 4, GENERATION 7
+    info_str = _w_rc4(objkey(6, 0), b"plain title")
+    objs = {
+        1: (0, b"<< /Type /Catalog /Pages 2 0 R >>"),
+        2: (0, b"<< /Type /Pages /Count 1 /Kids [3 0 R] >>"),
+        3: (0, b"<< /Type /Page /Parent 2 0 R /Contents 4 7 R >>"),
+        4: (7, b"<< /Length %d >>\nstream\n" % len(enc_body) + enc_body
+            + b"\nendstream"),
+        5: (0, b"<< /Filter /Standard /V 1 /R 2 /O <"
+            + owner_o.hex().encode() + b"> /U <" + u.hex().encode()
+            + b"> /P -1 >>"),
+        6: (0, b"<< /Title <" + info_str.hex().encode() + b"> >>"),
+    }
+    out = bytearray(b"%PDF-1.4\n")
+    offs = {}
+    for n in sorted(objs):
+        gen, data = objs[n]
+        offs[n] = len(out)
+        out += b"%d %d obj\n" % (n, gen) + data + b"\nendobj\n"
+    xo = len(out)
+    out += b"xref\n0 7\n0000000000 65535 f \n"
+    for n in range(1, 7):
+        out += b"%010d %05d n \n" % (offs[n], objs[n][0])
+    idhex = doc_id_bytes.hex().encode()
+    out += (b"trailer\n<< /Size 7 /Root 1 0 R /Encrypt 5 0 R"
+            b" /ID [<" + idhex + b"> <" + idhex + b">] >>\n"
+            b"startxref\n%d\n%%%%EOF\n" % xo)
+
+    # NOTE: the reference-lookahead parses "4 7 R"; generation in refs
+    # is ignored by design (one live generation per object), but the
+    # OBJECT's own header generation must drive its key
+    pdf = bytes(out)
+    parsed = parse_pdf_doc(pdf)
+    assert [p["text"] for p in parsed] == ["secret words"]
+    assert parsed[0]["decode_failures"] == 0
+    d = _Doc(pdf)
+    assert d.resolve(d.obj(6))["Title"] == b"plain title"
+    enc = d.resolve(d.trailer["Encrypt"])
+    assert _w_rc4(key, enc["U"]) == _W_PDF_PAD   # /U stayed exempt
+
+
 def test_encrypted_pdf_standard_handler():
     """RC4 standard-security-handler docs (empty user password): the
     file key derives per Algorithm 2, /U validates per Algorithm 6
