@@ -11,7 +11,12 @@ Stages (the `ops.curate` composition over a documents table):
   generation (MinHash-LSH or SimHash) → near-dup removal →
   curated corpus + pair table + curation audit row.
 
-Outputs under --out:
+Outputs under --out (every artifact is partitioned by run_id and
+written with dynamic partition overwrite on resume, so RETRYING a
+crashed run with the same run_id is idempotent — it rewrites exactly
+its own partition instead of appending duplicate rows; batch runs
+clear prior runs; the state/ checkpoint commits last and a retry
+ignores any partial state its crashed attempt left):
   curated/         kept documents, all input columns preserved
   near_dup_pairs/  (a, b, …) pair evidence (when --near-dup != none)
   audit/           one row per run: input/kept/pair counts + parameters
@@ -53,6 +58,19 @@ Assumes crawl-ordered ids (new ids > already-processed ids); under
 that ordering an incremental run keeps exactly the docs a batch run
 over the union would keep (pytest-pinned). Requires
 --near-dup minhash or none.
+
+Cap-drift caveat (near_dup_pairs only): the megabucket cap drops LSH
+buckets larger than max_bucket. If a bucket crosses the cap BETWEEN
+increments, pairs already emitted by earlier runs stay in
+near_dup_pairs/ even though a batch run over the union would have
+suppressed that whole bucket — the accumulated pair table (and with
+it the kept set) can then diverge from the batch run: incremental
+removes near-dups the batch cap would have let through. This is a
+documented, deliberate asymmetry: max_bucket exists to bound the
+quadratic verify cost, not to define dedup semantics, and dropping a
+real near-dup the cap would have spared is the conservative side.
+The batch≡incremental pins in tests/test_curate_resume.py exercise
+buckets under the cap — the operating regime.
 """
 
 from __future__ import annotations
@@ -144,19 +162,42 @@ def main() -> None:
         return df
 
     resuming = args.resume and _hdfs_exists(spark, f"{state}/manifest")
-    write_mode = "append" if resuming else "overwrite"
+
+    def write_run(df, path: str, keep_other_runs: bool | None = None):
+        """Crash-idempotent per-run write: every artifact is
+        partitioned by run_id, and a retry of the same run_id
+        OVERWRITES exactly its own partition (dynamic partition
+        overwrite) instead of appending a second copy — the
+        append-mode retry would double every doc of the run
+        (duplicate extracted rows → raw-join fan-out downstream).
+        `keep_other_runs=False` (batch runs) clears prior runs too."""
+        if keep_other_runs is None:
+            keep_other_runs = resuming
+        w = df.withColumn("run_id", F.lit(args.run_id)) \
+              .write.partitionBy("run_id")
+        if keep_other_runs:
+            w = w.option("partitionOverwriteMode", "dynamic")
+        w.mode("overwrite").parquet(path)
+
+    def read_state(path: str):
+        """Resume state EXCLUDING any partial rows a crashed attempt
+        of THIS run_id left behind — the retry regenerates them."""
+        return (spark.read.parquet(path)
+                .filter(F.col("run_id") != args.run_id)
+                .drop("run_id"))
+
     old_hashes = old_bands = None
     if resuming:
-        manifest = spark.read.parquet(f"{state}/manifest")
+        manifest = read_state(f"{state}/manifest")
         raw = raw_all.join(manifest.select(F.col("doc_id").alias(orig_id)),
                            orig_id, "left_anti").persist()
         if raw.limit(1).count() == 0:
             print(f"[{args.run_id}] nothing to process "
                   "(state manifest covers input)")
             return
-        old_hashes = spark.read.parquet(f"{state}/qualified_hashes")
+        old_hashes = read_state(f"{state}/qualified_hashes")
         if _hdfs_exists(spark, f"{state}/bands"):
-            old_bands = spark.read.parquet(f"{state}/bands")
+            old_bands = read_state(f"{state}/bands")
     else:
         raw = raw_all
 
@@ -172,9 +213,7 @@ def main() -> None:
         # 200k-1M docs, identical results. run_id partitioning makes
         # increments append a new directory while batch runs overwrite
         # the table.
-        (docs.withColumn("run_id", F.lit(args.run_id))
-         .write.partitionBy("run_id").mode(write_mode)
-         .parquet(f"{out}/extracted"))
+        write_run(docs, f"{out}/extracted")
         ext_run = (spark.read.parquet(f"{out}/extracted")
                    .filter(F.col("run_id") == args.run_id))
         # per-partition extraction lineage + metrics (north rule):
@@ -183,12 +222,11 @@ def main() -> None:
         metric_cols = [c for c in ext_run.columns
                        if c not in ("doc_id", "text", "run_id",
                                     "partition_id")]
-        (ext_run.groupBy("partition_id")
-         .agg(F.count("*").alias("docs"),
-              *[F.sum(c).alias(c) for c in metric_cols])
-         .withColumns({"run_id": F.lit(args.run_id),
-                       "audit_ts": F.current_timestamp()})
-         .write.mode("append").parquet(f"{out}/extract_audit"))
+        write_run(ext_run.groupBy("partition_id")
+                  .agg(F.count("*").alias("docs"),
+                       *[F.sum(c).alias(c) for c in metric_cols])
+                  .withColumn("audit_ts", F.current_timestamp()),
+                  f"{out}/extract_audit", keep_other_runs=True)
         docs = ext_run.select("doc_id", "text")
         id_col, text_col = "doc_id", "text"
     else:
@@ -248,7 +286,7 @@ def main() -> None:
         # materialized once: pair evidence is both an output artifact
         # and the anti-join input of the kept-set below
         pairs = pairs.persist()
-        pairs.write.mode(write_mode).parquet(f"{out}/near_dup_pairs")
+        write_run(pairs, f"{out}/near_dup_pairs")
 
     gate_kwargs = dict(
         id_col=id_col, text_col=text_col,
@@ -272,43 +310,44 @@ def main() -> None:
         curated = docs.join(
             kept.select(F.col("doc_id").alias(id_col)),
             id_col, "left_semi")
-    curated.write.mode(write_mode).parquet(f"{out}/curated")
+    write_run(curated, f"{out}/curated")
 
     n_kept = kept.count()
     n_pairs = pairs.count() if pairs is not None else 0
     audit = spark.createDataFrame(
-        [(args.run_id, n_in, n_kept, n_pairs, args.near_dup,
+        [(n_in, n_kept, n_pairs, args.near_dup,
           args.min_tokens, float(args.max_digit_ratio),
           float(args.max_punct_ratio), args.langs)],
-        "run_id string, input_docs long, kept_docs long, "
+        "input_docs long, kept_docs long, "
         "near_dup_pairs long, near_dup_mode string, min_tokens int, "
         "max_digit_ratio double, max_punct_ratio double, langs string")
-    audit.withColumn("audit_ts", F.current_timestamp()) \
-        .write.mode("append").parquet(f"{out}/audit")
+    write_run(audit.withColumn("audit_ts", F.current_timestamp()),
+              f"{out}/audit", keep_other_runs=True)
 
     # per-stage drop accounting — second audit artifact; `kept` here
     # must (and does, by construction + tests) equal kept_docs above
     stages = curation_stage_counts(docs, near_dup_pairs=pairs,
                                    seen_hashes=old_hashes, **gate_kwargs)
-    (stages.withColumn("run_id", F.lit(args.run_id))
-     .write.mode("append").parquet(f"{out}/stage_counts"))
+    write_run(stages, f"{out}/stage_counts", keep_other_runs=True)
 
-    # resume checkpoint — batch overwrites, increments append
+    # resume checkpoint — written LAST so a crash anywhere above leaves
+    # the run re-runnable (the retry's read_state ignores this run_id's
+    # partial partitions and the artifact writes overwrite them)
     ids_delta = raw.select(F.col(orig_id).alias("doc_id"))
     qh_delta = qualified_hashes(docs, **gate_kwargs)
     if resuming:
         # Cut lineage BEFORE mutating state: these plans read
         # state/manifest (through `raw`'s anti-join), and the first
-        # append below would invalidate their caches
+        # write below would invalidate their caches
         # (CacheManager.recacheByPath) — a lazy re-evaluation would
         # then see the just-updated manifest and write EMPTY deltas.
         ids_delta = ids_delta.localCheckpoint()
         qh_delta = qh_delta.localCheckpoint()
         banded = banded.localCheckpoint() if banded is not None else None
-    ids_delta.write.mode(write_mode).parquet(f"{state}/manifest")
-    qh_delta.write.mode(write_mode).parquet(f"{state}/qualified_hashes")
+    write_run(ids_delta, f"{state}/manifest")
+    write_run(qh_delta, f"{state}/qualified_hashes")
     if banded is not None:
-        banded.write.mode(write_mode).parquet(f"{state}/bands")
+        write_run(banded, f"{state}/bands")
 
     print(f"[{args.run_id}] curated {n_kept}/{n_in} documents "
           f"({n_pairs} near-dup pairs) → {out}")
