@@ -1,7 +1,8 @@
 """HTML main-content extraction (boilerplate strip) — the north rule's
 web-page tier stated directly: a batched byte-stream HTML tokenizer
 flattens each page into a node array per batch (Arrow-batched
-`mapInPandas`, never per-row Python UDFs), then text-density /
+`mapInArrow` over flat columnar buffers, never per-row Python UDFs or
+per-node dicts), then text-density /
 link-density / tag-depth scoring — plain JVM expressions over the node
 array — selects content blocks, emitting extracted text plus
 character-span offsets per document.
@@ -22,7 +23,7 @@ Split of labor (the scale-critical property):
   the Python layer and the optimizer can prune/fuse.
 
 At 10^12 documents the flatten pass is embarrassingly parallel
-(scan → mapInPandas, no shuffle — same plan shape as the Engine-2
+(scan → mapInArrow, no shuffle — same plan shape as the Engine-2
 WBX2 kernel, `engine2/pipeline.py`), and the per-doc node arrays are
 bounded by document size, so no skew beyond document length (the
 salted oversized-doc path applies unchanged if needed).
@@ -31,9 +32,8 @@ salted oversized-doc path applies unchanged if needed).
 from __future__ import annotations
 
 import re
-from typing import Iterator
+from typing import Iterator  # noqa: F401 — used in kernel type hints
 
-import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -109,10 +109,84 @@ _ASCII_ALPHA = frozenset(
 _IN_ATTR_CHARS = _ASCII_ALPHA | {"=", "/"}
 
 
+class _NodeBuf:
+    """Flat columnar accumulator for one Arrow batch of documents.
+
+    The flatten kernel appends primitives to parallel flat lists —
+    never per-node dicts or per-span tuples — so the only per-batch
+    Arrow conversion is one `pa.array` per column over homogeneous
+    Python lists plus two offset vectors (spans-per-node,
+    nodes-per-doc). This is the allocator-pressure fix for the
+    string-bandwidth-bound scaling the per-node-dict version showed
+    (ROADMAP item: columnar node buffers)."""
+
+    __slots__ = ("tags", "depths", "boiler", "texts", "nchars", "links",
+                 "span_starts", "span_ends", "span_offsets",
+                 "node_offsets")
+
+    def __init__(self) -> None:
+        self.tags: list[str] = []
+        self.depths: list[int] = []
+        self.boiler: list[bool] = []
+        self.texts: list[str] = []
+        self.nchars: list[int] = []
+        self.links: list[int] = []
+        self.span_starts: list[int] = []
+        self.span_ends: list[int] = []
+        self.span_offsets: list[int] = [0]     # len == total nodes + 1
+        self.node_offsets: list[int] = [0]     # len == docs flushed + 1
+
+    def end_doc(self) -> None:
+        self.node_offsets.append(len(self.tags))
+
+    def to_arrow_nodes(self):
+        """The batch's `nodes` column as `pa.ListArray` (one list of
+        node structs per document), matching NODE_TYPE exactly."""
+        import numpy as np
+        import pyarrow as pa
+        total = len(self.tags)
+        offsets = np.asarray(self.node_offsets, dtype=np.int32)
+        # idx = position within the owning document
+        idx = (np.arange(total, dtype=np.int32)
+               - np.repeat(offsets[:-1], np.diff(offsets)))
+        span_struct = pa.StructArray.from_arrays(
+            [pa.array(self.span_starts, pa.int64()),
+             pa.array(self.span_ends, pa.int64())],
+            ["start", "end"])
+        spans = pa.ListArray.from_arrays(
+            pa.array(self.span_offsets, pa.int32()), span_struct)
+        node_struct = pa.StructArray.from_arrays(
+            [pa.array(idx), pa.array(self.tags, pa.string()),
+             pa.array(self.depths, pa.int32()),
+             pa.array(self.boiler, pa.bool_()),
+             pa.array(self.texts, pa.string()),
+             pa.array(self.nchars, pa.int64()),
+             pa.array(self.links, pa.int64()), spans],
+            ["idx", "tag", "depth", "in_boiler", "text", "n_chars",
+             "link_chars", "spans"])
+        return pa.ListArray.from_arrays(pa.array(offsets), node_struct)
+
+
 def _flatten_one(html: str) -> list[dict]:
-    """Linear scan of one HTML string → block node list with exact
-    character-span offsets into the ORIGINAL string (`HTMLParser`
-    reports (line, col) only, hence hand-rolled).
+    """One document → list of node dicts (test / golden-twin API; the
+    Spark path goes through `_flatten_into` + `_NodeBuf` directly)."""
+    buf = _NodeBuf()
+    _flatten_into(html, buf)
+    s_off = buf.span_offsets
+    return [dict(
+        idx=i, tag=buf.tags[i], depth=buf.depths[i],
+        in_boiler=buf.boiler[i], text=buf.texts[i],
+        n_chars=buf.nchars[i], link_chars=buf.links[i],
+        spans=[dict(start=a, end=b) for a, b in
+               zip(buf.span_starts[s_off[i]:s_off[i + 1]],
+                   buf.span_ends[s_off[i]:s_off[i + 1]])],
+    ) for i in range(len(buf.tags))]
+
+
+def _flatten_into(html: str, buf: _NodeBuf) -> None:
+    """Linear scan of one HTML string → block nodes appended to `buf`,
+    with exact character-span offsets into the ORIGINAL string
+    (`HTMLParser` reports (line, col) only, hence hand-rolled).
 
     State machine per HTML5 tokenization: start tags are quote-aware
     (a '>' inside a quoted attribute value does not close the tag);
@@ -124,44 +198,59 @@ def _flatten_one(html: str) -> list[dict]:
     golden twin (`golden_oracle._BpFlattener`) — pinned by the
     hypothesis parity fuzz in tests/test_property_parity.py."""
     n = len(html)
-    nodes: list[dict] = []
     stack: list[str] = []          # open tags
     boiler_depth = 0               # nested BOILER_TAGS count
     link_depth = 0                 # nested <a> count
-    cur: dict | None = None
+    # open-block state (flat locals; cur_tag None == no open block)
+    cur_tag: str | None = None
+    cur_depth = 0
+    cur_boiler = False
+    cur_link = 0
+    parts: list[str] = []
+    sp_s: list[int] = []
+    sp_e: list[int] = []
 
     def open_block(tag: str) -> None:
-        nonlocal cur
+        nonlocal cur_tag, cur_depth, cur_boiler, cur_link, parts, sp_s, sp_e
         close_block()
-        cur = dict(tag=tag, depth=len(stack), in_boiler=boiler_depth > 0,
-                   parts=[], spans=[], link_chars=0)
+        cur_tag = tag
+        cur_depth = len(stack)
+        cur_boiler = boiler_depth > 0
+        cur_link = 0
+        parts = []
+        sp_s = []
+        sp_e = []
 
     def close_block() -> None:
-        nonlocal cur
-        if cur is not None and cur["parts"]:
-            text = "".join(cur["parts"])
+        nonlocal cur_tag
+        if cur_tag is not None and parts:
+            text = "".join(parts)
             if text.strip():
-                nodes.append(dict(
-                    idx=len(nodes), tag=cur["tag"], depth=cur["depth"],
-                    in_boiler=cur["in_boiler"], text=text,
-                    n_chars=len(text), link_chars=cur["link_chars"],
-                    spans=[dict(start=s, end=e) for s, e in cur["spans"]],
-                ))
-        cur = None
+                buf.tags.append(cur_tag)
+                buf.depths.append(cur_depth)
+                buf.boiler.append(cur_boiler)
+                buf.texts.append(text)
+                buf.nchars.append(len(text))
+                buf.links.append(cur_link)
+                buf.span_starts += sp_s
+                buf.span_ends += sp_e
+                buf.span_offsets.append(len(buf.span_starts))
+        cur_tag = None
 
     def data(seg: str, start: int) -> None:
+        nonlocal cur_link
         if not seg:
             return
-        if cur is None:
+        if cur_tag is None:
             open_block("#text")
-        cur["parts"].append(seg)
-        spans = cur["spans"]
-        if spans and spans[-1][1] == start:    # coalesce contiguous
-            spans[-1] = (spans[-1][0], start + len(seg))
+        parts.append(seg)
+        if sp_e and sp_e[-1] == start:         # coalesce contiguous
+            sp_e[-1] = start + len(seg)
         else:
-            spans.append((start, start + len(seg)))
+            sp_s.append(start)
+            sp_e.append(start + len(seg))
         if link_depth > 0:
-            cur["link_chars"] += len(seg)
+            cur_link += len(seg)
 
     def start_tag(tag: str) -> None:
         nonlocal boiler_depth, link_depth
@@ -323,29 +412,37 @@ def _flatten_one(html: str) -> list[dict]:
             data("<", lt)
             i = lt + 1
     close_block()
-    return nodes
 
 
 def flatten_dom(pages: DataFrame, html_col: str = "html_text",
                 id_col: str = "doc_id") -> DataFrame:
     """(id, nodes) — the flattened node array per document.
 
-    Arrow-batched `mapInPandas`: same shuffle-free scan→kernel plan
+    Arrow-batched `mapInArrow`: same shuffle-free scan→kernel plan
     shape as the Engine-2 extraction; the Python layer is parse-only.
-    """
+    The kernel appends into flat `_NodeBuf` columns and builds the
+    nested Arrow arrays directly from the buffers + offset vectors —
+    no per-node Python dicts, no pandas object-column round trip
+    (the allocator/bandwidth hotspot of the previous version)."""
     out_schema = T.StructType([
         T.StructField(id_col, T.LongType()),
         T.StructField("nodes", NODE_TYPE),
     ])
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            yield pd.DataFrame({
-                id_col: pdf[id_col].astype("int64"),
-                "nodes": [_flatten_one(h or "") for h in pdf[html_col]],
-            })
+    def run(batches: "Iterator[pa.RecordBatch]") -> "Iterator[pa.RecordBatch]":
+        import pyarrow as pa
+        for rb in batches:
+            ids = rb.column(rb.schema.get_field_index(id_col))
+            htmls = rb.column(rb.schema.get_field_index(html_col))
+            buf = _NodeBuf()
+            for h in htmls.to_pylist():
+                _flatten_into(h or "", buf)
+                buf.end_doc()
+            yield pa.RecordBatch.from_arrays(
+                [ids.cast(pa.int64()), buf.to_arrow_nodes()],
+                [id_col, "nodes"])
 
-    return pages.select(id_col, html_col).mapInPandas(run, out_schema)
+    return pages.select(id_col, html_col).mapInArrow(run, out_schema)
 
 
 def score_nodes(nodes: Column) -> Column:

@@ -90,7 +90,7 @@ def test_zero_fill_dim_is_broadcast(spark):
 
 
 def test_boilerplate_flatten_shuffle_free(spark, sf_dir):
-    """The HTML flatten pass must be scan → (project) → mapInPandas —
+    """The HTML flatten pass must be scan → (project) → mapInArrow —
     no exchange before the Python tokenizer (same contract as the
     Engine-2 WBX2 kernel), and the density scoring/keep rule must stay
     in the same stage (no exchange after it either)."""
@@ -101,7 +101,7 @@ def test_boilerplate_flatten_shuffle_free(spark, sf_dir):
         "doc_id", F.concat(F.lit("<p>"), "text", F.lit("</p>"))
         .alias("html_text"))
     plan = _plan(extract_main_content(pages))
-    assert "MapInPandas" in plan
+    assert "MapInArrow" in plan
     assert "Exchange" not in plan
     assert "SortMergeJoin" not in plan
 
