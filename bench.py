@@ -24,6 +24,27 @@ from pdf_extractor_spark.session import get_spark
 SF_DOCS = {"0.001": 100, "0.01": 1000, "0.1": 16000}
 
 
+def calibration_probe(mib: int = 256) -> float:
+    """Fixed-work single-thread CPU probe: sha256 over `mib` MiB of a
+    constant buffer. The absolute seconds mean nothing by themselves;
+    the RATIO of this field between two bench snapshots is the ambient
+    host-contention factor of the measuring VM, so cross-round query
+    timings can be compared steal-normalized (divide each round's
+    timings by its calibration before comparing). Motivation: the
+    round-4 driver snapshot ran during a ~2.2x host-steal episode and
+    byte-identical code looked uniformly slower; this field makes that
+    factor explicit instead of forensic."""
+    import hashlib
+
+    buf = b"\xa5" * (1 << 20)
+    t0 = time.perf_counter()
+    h = hashlib.sha256()
+    for _ in range(mib):
+        h.update(buf)
+    h.digest()
+    return round(time.perf_counter() - t0, 4)
+
+
 def sf_of(sf_dir: str) -> str:
     base = os.path.basename(sf_dir.rstrip("/"))
     return base.replace("sf", "") or "0.1"
@@ -44,6 +65,7 @@ def ensure_corpus(spark, n_docs: int) -> str:
 
 
 def run_bench(spark, sf_dir: str) -> dict:
+    cal_pre = calibration_probe()
     sf = sf_of(sf_dir)
     n_docs = SF_DOCS.get(sf, 2000)
     pages_path = ensure_corpus(spark, n_docs)
@@ -116,6 +138,7 @@ def run_bench(spark, sf_dir: str) -> dict:
     n_folha = pages.filter(F.col("url").startswith("synth://folha")).count()
     n_ficha = pages.filter(F.col("url").startswith("synth://ficha")).count()
 
+    cal_post = calibration_probe()
     total = round(sum(timings.values()), 3)
     return {
         "metric": "pipeline_total_seconds",
@@ -128,6 +151,12 @@ def run_bench(spark, sf_dir: str) -> dict:
         "docs_per_sec_e2": round(n_ficha / timings["e2_extract"], 2),
         "rows": counters,
         "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
+        # ambient-contention normalizer: compare two snapshots via
+        # (timing / calibration_s) ratios, not raw seconds — see
+        # calibration_probe docstring
+        "calibration_s_pre": cal_pre,
+        "calibration_s_post": cal_post,
+        "calibration_s": round((cal_pre + cal_post) / 2, 4),
     }
 
 
