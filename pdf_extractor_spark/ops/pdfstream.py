@@ -1526,21 +1526,20 @@ def parse_pdf_docs(df: DataFrame, pdf_col: str = "pdf",
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
+            # flat column lists, not per-row dicts (allocator pressure;
+            # same treatment as the HTML flatten's _NodeBuf)
+            cols: dict[str, list] = {f.name: [] for f in DOC_SCHEMA.fields}
             for i, raw in zip(pdf[id_col], pdf[pdf_col]):
                 pages = parse_pdf_doc(bytes(raw) if raw is not None
                                       else b"")
-                rows.append({
-                    "doc_id": int(i),
-                    "text": "\n".join(p["text"] for p in pages),
-                    "n_pages": len(pages),
-                    "n_lines": sum(p["n_lines"] for p in pages),
-                    "n_ops": sum(p["n_ops"] for p in pages),
-                    "decode_failures": sum(p["decode_failures"]
-                                           for p in pages),
-                })
-            yield pd.DataFrame(
-                rows, columns=[f.name for f in DOC_SCHEMA.fields])
+                cols["doc_id"].append(int(i))
+                cols["text"].append("\n".join(p["text"] for p in pages))
+                cols["n_pages"].append(len(pages))
+                cols["n_lines"].append(sum(p["n_lines"] for p in pages))
+                cols["n_ops"].append(sum(p["n_ops"] for p in pages))
+                cols["decode_failures"].append(
+                    sum(p["decode_failures"] for p in pages))
+            yield pd.DataFrame(cols)
 
     return df.select(id_col, pdf_col).mapInPandas(run, DOC_SCHEMA)
 
@@ -1553,13 +1552,16 @@ def parse_pdf_pages(df: DataFrame, pdf_col: str = "pdf",
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
+            cols: dict[str, list] = {f.name: []
+                                     for f in PARSED_SCHEMA.fields}
             for i, raw in zip(pdf[id_col], pdf[pdf_col]):
                 for page in parse_pdf_doc(bytes(raw) if raw is not None
                                           else b""):
-                    rows.append({"doc_id": int(i), **page})
-            yield pd.DataFrame(
-                rows, columns=[f.name for f in PARSED_SCHEMA.fields])
+                    cols["doc_id"].append(int(i))
+                    for k in ("page_idx", "text", "n_lines", "n_ops",
+                              "decode_failures"):
+                        cols[k].append(page[k])
+            yield pd.DataFrame(cols)
 
     return df.select(id_col, pdf_col).mapInPandas(run, PARSED_SCHEMA)
 
@@ -1590,22 +1592,21 @@ def parse_pdf_layout(df: DataFrame, pdf_col: str = "pdf",
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
+            cols: dict[str, list] = {f.name: []
+                                     for f in LAYOUT_SCHEMA.fields}
             for key, raw in zip(pdf[key_col], pdf[pdf_col]):
                 parsed = parse_pdf_layout_doc(
                     bytes(raw) if raw is not None else b"")
                 pages = parsed["pages"]
                 words_pages = [p[0] for p in pages]
-                rows.append({
-                    "url": key,
-                    "html": encode_layout(parsed["height"], words_pages)
-                            if pages else b"",
-                    "text": "\f".join(p[1] for p in pages),
-                    "n_pages": len(pages),
-                    "n_words": sum(len(w) for w in words_pages),
-                    "decode_failures": parsed["decode_failures"],
-                })
-            yield pd.DataFrame(
-                rows, columns=[f.name for f in LAYOUT_SCHEMA.fields])
+                cols["url"].append(key)
+                cols["html"].append(
+                    encode_layout(parsed["height"], words_pages)
+                    if pages else b"")
+                cols["text"].append("\f".join(p[1] for p in pages))
+                cols["n_pages"].append(len(pages))
+                cols["n_words"].append(sum(len(w) for w in words_pages))
+                cols["decode_failures"].append(parsed["decode_failures"])
+            yield pd.DataFrame(cols)
 
     return df.select(key_col, pdf_col).mapInPandas(run, LAYOUT_SCHEMA)
