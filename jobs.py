@@ -47,6 +47,13 @@ def main() -> None:
     ap.add_argument("--start", default="2019-01")
     ap.add_argument("--end", default="2021-12")
     ap.add_argument("--minutes-mode", action="store_true")
+    ap.add_argument("--pdf-col", default=None,
+                    help="treat --pages as (url, <col> binary) of raw PDF "
+                         "bytes: the from-scratch object-stream parser "
+                         "(ops/pdfstream.parse_pdf_layout) extracts word "
+                         "boxes + page text into the pages-table contract "
+                         "before both engines run — the reference's "
+                         "headline path, end-to-end from bytes")
     ap.add_argument("--table-format", choices=["parquet", "iceberg"],
                     default="parquet",
                     help="parquet = snapshot dirs + version-hint pointer "
@@ -73,7 +80,16 @@ def main() -> None:
 
     pages = spark.read.parquet(args.pages)
     if args.resume:
+        # filter on raw input first: already-done documents are never
+        # parsed (the front door below is the expensive stage)
         pages = resume.filter_resumable(pages, manifest)
+    if args.pdf_col:
+        from pdf_extractor_spark.ops.pdfstream import parse_pdf_layout
+
+        # bytes front door: scan → mapInPandas, zero exchanges; emits
+        # the same (url, html=WBX2 word boxes, text) contract the
+        # synthetic pages table carries, so both engines are unchanged
+        pages = parse_pdf_layout(pages, pdf_col=args.pdf_col)
     pages = pages.persist()
     if pages.limit(1).count() == 0:
         print(f"[{args.run_id}] nothing to process (resume manifest covers input)")

@@ -1254,9 +1254,15 @@ def main() -> None:
     ap.add_argument("--n-docs", type=int, required=True)
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--out", required=True)
+    ap.add_argument("--pdf-bytes", action="store_true",
+                    help="write (url, pdf) raw PDF bytes of the corpus's "
+                         "ficha documents instead of the pages table — "
+                         "the input shape of jobs.py --pdf-col pdf")
     args = ap.parse_args()
     spark = get_spark("datagen")
-    corpus_df(spark, args.n_docs, args.seed).write.mode("overwrite").parquet(args.out)
+    df = (e2_pdf_corpus_df(spark, args.n_docs, args.seed)
+          if args.pdf_bytes else corpus_df(spark, args.n_docs, args.seed))
+    df.write.mode("overwrite").parquet(args.out)
     print(f"wrote {args.n_docs} docs to {args.out}")
 
 

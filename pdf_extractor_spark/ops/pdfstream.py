@@ -46,11 +46,14 @@ from __future__ import annotations
 
 import re
 import zlib
+from itertools import accumulate
 from typing import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
+
+from . import aes as _aes
 
 _WS = b"\x00\t\n\x0c\r "
 _DELIM = b"()<>[]{}/%"
@@ -359,6 +362,26 @@ def _rc4(key: bytes, data: bytes) -> bytes:
     return bytes(out)
 
 
+def _hash_2b(password: bytes, salt: bytes, udata: bytes) -> bytes:
+    """ISO 32000-2 Algorithm 2.B — the R6 iterated password hash:
+    start from SHA-256(pwd+salt+udata); each round AES-128-CBC-encrypts
+    64 repeats of (pwd+K+udata) with key K[:16] / IV K[16:32], picks
+    SHA-256/384/512 by (sum of first 16 bytes mod 3), and stops after
+    round 64 once the last byte of the AES output ≤ round-64."""
+    import hashlib
+
+    k = hashlib.sha256(password + salt + udata).digest()
+    i = 0
+    while True:
+        k1 = (password + k + udata) * 64
+        e = _aes.cbc_encrypt(k[:16], k[16:32], k1, pad=False)
+        k = (hashlib.sha256, hashlib.sha384,
+             hashlib.sha512)[sum(e[:16]) % 3](e).digest()
+        i += 1
+        if i >= 64 and e[-1] <= i - 32:
+            return k[:32]
+
+
 def _ascii_hex_decode(data: bytes) -> bytes:
     """§7.4.2: hex pairs, whitespace ignored, '>' is EOD, odd final
     digit pads with 0."""
@@ -506,6 +529,7 @@ class _Doc:
         self._objstm_cache: dict[int, dict[int, object]] = {}
         self._font_cache: dict[int, _Font] = {}
         self._enc_key: bytes | None = None
+        self._enc_cipher: str = "rc4"
         self._enc_obj_num: int | None = None
         self.offsets, self.trailer = self._load_xref()
         self._setup_encryption()
@@ -513,9 +537,15 @@ class _Doc:
     def _setup_encryption(self) -> None:
         """Standard security handler (§7.6.3), empty user password —
         the viewable-but-encrypted shape crawled PDFs commonly have.
-        Computes the RC4 file key (Algorithm 2): MD5 of padded
-        password + /O + /P (signed LE) + first document ID, with R3's
-        50 re-hash rounds; V1 40-bit through V2 128-bit."""
+
+        V1/V2: RC4 file key via Algorithm 2 (MD5 of padded password +
+        /O + /P signed LE + first document ID, R3's 50 re-hash rounds;
+        40-bit through 128-bit). V4: same key, cipher chosen by the
+        default crypt filter's /CFM — /V2 (RC4) or /AESV2 (AES-128-CBC,
+        IV-prefixed payloads). V5 (R5/R6): AES-256 — the file key is
+        recovered by decrypting /UE with an intermediate key derived
+        from the empty user password and /U's key salt (SHA-256 for R5,
+        the iterated 2.B hash for R6)."""
         import hashlib
 
         if not isinstance(self.trailer, dict):
@@ -533,19 +563,53 @@ class _Doc:
         o = enc.get("O")
         if not isinstance(o, bytes):
             return
-        p = int(enc.get("P", -1)) & 0xFFFFFFFF
         r = int(enc.get("R", 2))
-        nbits = enc.get("Length", 40)
-        n = max(5, min(int(nbits) // 8, 16))
-        ids = self.trailer.get("ID")
-        id0 = (ids[0] if isinstance(ids, list) and ids
-               and isinstance(ids[0], bytes) else b"")
-        key = hashlib.md5(_PDF_PAD + o + p.to_bytes(4, "little")
-                          + id0).digest()
-        if r >= 3:
-            for _ in range(50):
-                key = hashlib.md5(key[:n]).digest()
-        self._enc_key = key[:n]
+        v = int(enc.get("V", 1))
+        self._enc_cipher = "rc4"
+        if v == 5:
+            # AES-256: /U = hash(32) + validation salt(8) + key salt(8)
+            u, ue = enc.get("U"), enc.get("UE")
+            if not (isinstance(u, bytes) and isinstance(ue, bytes)
+                    and len(u) >= 48 and len(ue) >= 32):
+                return
+            ksalt = u[40:48]
+            ik = (_hash_2b(b"", ksalt, b"") if r >= 6
+                  else hashlib.sha256(ksalt).digest())
+            self._enc_key = _aes.cbc_decrypt(ik, b"\x00" * 16, ue[:32],
+                                             unpad=False)
+            self._enc_cipher = "aes"
+        else:
+            nbits = enc.get("Length", 40)
+            if v == 4:
+                # crypt filters (§7.6.5): the default stream filter's
+                # /CFM picks the cipher (strings share /StrF = /StdCF
+                # in practice; Identity = no crypt handled by cfm "")
+                cf = enc.get("CF")
+                stmf = str(enc.get("StmF", "Identity"))
+                cfd = cf.get(stmf) if isinstance(cf, dict) else None
+                if isinstance(cfd, tuple):
+                    cfd = cfd[0]
+                if isinstance(cfd, dict):
+                    if str(cfd.get("CFM", "")) == "AESV2":
+                        self._enc_cipher = "aes"
+                    ln = cfd.get("Length")
+                    if isinstance(ln, (int, float)):
+                        # /CF Length is bytes per spec; many writers
+                        # emit bits — normalize by magnitude
+                        nbits = int(ln) * 8 if int(ln) <= 40 else int(ln)
+            n = max(5, min(int(nbits) // 8, 16))
+            p = int(enc.get("P", -1)) & 0xFFFFFFFF
+            ids = self.trailer.get("ID")
+            id0 = (ids[0] if isinstance(ids, list) and ids
+                   and isinstance(ids[0], bytes) else b"")
+            md = _PDF_PAD + o + p.to_bytes(4, "little") + id0
+            if v >= 4 and enc.get("EncryptMetadata") is False:
+                md += b"\xff\xff\xff\xff"
+            key = hashlib.md5(md).digest()
+            if r >= 3:
+                for _ in range(50):
+                    key = hashlib.md5(key[:n]).digest()
+            self._enc_key = key[:n]
         # the /Encrypt dictionary's own strings (/O, /U) are exempt
         # from decryption (§7.6.2) — remember which object it is
         self._enc_obj_num = enc_ref.num if isinstance(enc_ref, _Ref) \
@@ -554,23 +618,33 @@ class _Doc:
         self._objstm_cache.clear()
 
     def _obj_key(self, num: int, gen: int) -> bytes:
-        """Per-object RC4 key (Algorithm 1): MD5(file key + objnum LE3
-        + generation LE2), truncated to keylen+5 ≤ 16."""
+        """Per-object key. RC4/AESV2 (Algorithm 1): MD5(file key +
+        objnum LE3 + generation LE2 [+ b'sAlT' for AES]), truncated to
+        keylen+5 ≤ 16. V5/AES-256 uses the file key directly."""
         import hashlib
 
+        if len(self._enc_key) == 32:            # V5: no per-object step
+            return self._enc_key
+        extra = b"sAlT" if self._enc_cipher == "aes" else b""
         k = hashlib.md5(self._enc_key + num.to_bytes(3, "little")
-                        + (gen & 0xFFFF).to_bytes(2, "little")).digest()
+                        + (gen & 0xFFFF).to_bytes(2, "little")
+                        + extra).digest()
         return k[:min(len(self._enc_key) + 5, 16)]
 
     def _decrypt(self, num: int, raw: bytes, gen: int = 0) -> bytes:
-        return _rc4(self._obj_key(num, gen), raw)
+        key = self._obj_key(num, gen)
+        if self._enc_cipher == "aes":
+            return _aes.pdf_aes_decrypt(key, raw)
+        return _rc4(key, raw)
 
     def _decrypt_strings(self, v, key: bytes):
-        """Strings in encrypted documents are RC4'd with the containing
-        object's key, same as streams (§7.6.2; the /Encrypt dictionary
-        and the file /ID are exempt and handled at the call site)."""
+        """Strings in encrypted documents use the containing object's
+        key and the handler's cipher, same as streams (§7.6.2; the
+        /Encrypt dictionary and the file /ID are exempt and handled at
+        the call site; AES payloads are IV-prefixed CBC)."""
         if isinstance(v, bytes):
-            return _rc4(key, v)
+            return (_aes.pdf_aes_decrypt(key, v)
+                    if self._enc_cipher == "aes" else _rc4(key, v))
         if isinstance(v, dict):
             return {k: self._decrypt_strings(x, key) for k, x in v.items()}
         if isinstance(v, list):
@@ -1183,7 +1257,8 @@ _Seg = tuple[float, list[str], list[float], list[float], float, float]
 _X_TOL = 3.0
 
 
-def _extract_page(content: bytes, fonts: dict[str, _Font]
+def _extract_page(content: bytes, fonts: dict[str, _Font],
+                  tables: dict | None = None
                   ) -> tuple[list[_Seg], int, int]:
     """Run the text-state machine over one page's content.
 
@@ -1210,8 +1285,10 @@ def _extract_page(content: bytes, fonts: dict[str, _Font]
     n_ops = failures = 0
     scale = 1.0
     # per-byte advance tables for the current simple-font state
-    # (memoized — Tf/Tz per show is common and the rebuild is 256 ops)
-    _tables: dict[tuple, tuple[list[float], list[float]]] = {}
+    # (memoized — Tf/Tz per show is common and the rebuild is 256 ops;
+    # callers pass one dict per DOCUMENT so repeated pages share it)
+    _tables: dict[tuple, tuple[list[float], list[float]]] = (
+        {} if tables is None else tables)
     gend_cache: list[float] = [0.0] * 256
     adv_cache: list[float] = [0.0] * 256
 
@@ -1257,15 +1334,17 @@ def _extract_page(content: bytes, fonts: dict[str, _Font]
                 clusters.append(ch)
                 x = x + (gw + tc) * scale
         else:
+            # C-speed listcomps; accumulate() applies the same
+            # sequential float adds as the scalar loop, so positions
+            # are bit-identical (pinned by the layout goldens)
             table = font.table
-            for b in raw:
-                ch = table[b]
-                if ch == "�":
-                    failures += 1
-                xs0.append(x)
-                xs1.append(x + gend_cache[b])
-                clusters.append(ch)
-                x = x + adv_cache[b]
+            clusters = [table[b] for b in raw]
+            failures += clusters.count("�")
+            adv, gend = adv_cache, gend_cache
+            cums = list(accumulate((adv[b] for b in raw), initial=x))
+            xs0 = cums[:-1]
+            xs1 = [c + gend[b] for c, b in zip(cums, raw)]
+            x = cums[-1]
         if clusters:
             segs.append((y, clusters, xs0, xs1,
                          (font.ascent * size) / 1000.0,
@@ -1426,11 +1505,12 @@ def parse_pdf_doc(pdf: bytes) -> list[dict]:
         return [dict(page_idx=0, text="", n_lines=0, n_ops=0,
                      decode_failures=1)]
     out = []
+    tables: dict = {}                   # font tables shared across pages
     for idx, page in enumerate(pages):
         try:
             content = doc.page_content(page)
             fonts = doc.page_fonts(page)
-            segs, n_ops, failures = _extract_page(content, fonts)
+            segs, n_ops, failures = _extract_page(content, fonts, tables)
             texts, _ = _assemble_page(segs)
         except Exception:
             out.append(dict(page_idx=idx, text="", n_lines=0, n_ops=0,
@@ -1470,6 +1550,7 @@ def parse_pdf_layout_doc(pdf: bytes) -> dict:
     doctop0 = 0.0
     height0 = 0.0
     n_ops_total = failures_total = 0
+    tables: dict = {}                   # font tables shared across pages
     for idx, page in enumerate(pages):
         h = doc.page_height(page)
         if idx == 0:
@@ -1477,7 +1558,7 @@ def parse_pdf_layout_doc(pdf: bytes) -> dict:
         try:
             content = doc.page_content(page)
             fonts = doc.page_fonts(page)
-            segs, n_ops, failures = _extract_page(content, fonts)
+            segs, n_ops, failures = _extract_page(content, fonts, tables)
             texts, words = _assemble_page(segs, height=h,
                                           doctop0=doctop0,
                                           want_words=True)

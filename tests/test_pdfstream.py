@@ -572,3 +572,150 @@ def test_encrypted_pdf_standard_handler():
         if len(first_words) > 6:
             assert first_words.encode("cp1252", "ignore") not in pdf
         _assert_roundtrip(doc_id, text)
+
+
+def _encrypted_pdf(enc_dict: bytes, doc_id_bytes: bytes,
+                   enc_body: bytes, enc_title: bytes) -> bytes:
+    """Minimal encrypted file skeleton shared by the AES tests:
+    object 4 = content stream (pre-encrypted), 5 = /Encrypt dict,
+    6 = an /Info-style dict with an encrypted literal string."""
+    objs = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Count 1 /Kids [3 0 R] >>",
+        3: b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>",
+        4: (b"<< /Length %d >>\nstream\n" % len(enc_body) + enc_body
+            + b"\nendstream"),
+        5: enc_dict,
+        6: b"<< /Title <" + enc_title.hex().encode() + b"> >>",
+    }
+    out = bytearray(b"%PDF-1.6\n")
+    offs = {}
+    for n in sorted(objs):
+        offs[n] = len(out)
+        out += b"%d 0 obj\n" % n + objs[n] + b"\nendobj\n"
+    xo = len(out)
+    out += b"xref\n0 7\n0000000000 65535 f \n"
+    for n in range(1, 7):
+        out += b"%010d 00000 n \n" % offs[n]
+    idhex = doc_id_bytes.hex().encode()
+    out += (b"trailer\n<< /Size 7 /Root 1 0 R /Encrypt 5 0 R"
+            b" /ID [<" + idhex + b"> <" + idhex + b">] >>\n"
+            b"startxref\n%d\n%%%%EOF\n" % xo)
+    return bytes(out)
+
+
+def test_encrypted_pdf_aesv2():
+    """V4 crypt-filter documents with /CFM /AESV2 (AES-128-CBC,
+    IV-prefixed payloads, per-object key salted with b'sAlT'): streams
+    AND strings decrypt; extracted text is byte-identical; ciphertext
+    does not contain the plaintext."""
+    import hashlib
+
+    from pdf_extractor_spark.ops import aes
+    from pdf_extractor_spark.ops.pdfstream import _PDF_PAD, _Doc
+
+    doc_id_bytes = hashlib.md5(b"aesv2-test").digest()
+    owner_o = hashlib.sha256(b"owner-entry").digest()  # opaque 32 bytes
+    p = (-1) & 0xFFFFFFFF
+    key = hashlib.md5(_PDF_PAD + owner_o + p.to_bytes(4, "little")
+                      + doc_id_bytes).digest()
+    for _ in range(50):                                # R4 rehash
+        key = hashlib.md5(key[:16]).digest()
+    key = key[:16]
+
+    def objkey(num: int) -> bytes:
+        return hashlib.md5(key + num.to_bytes(3, "little")
+                           + b"\x00\x00" + b"sAlT").digest()[:16]
+
+    body = b"BT /F1 11 Tf 72 720 Td (aes secret words) Tj ET"
+    iv = bytes(range(16))
+    enc_body = aes.pdf_aes_encrypt(objkey(4), iv, body)
+    enc_title = aes.pdf_aes_encrypt(objkey(6), iv[::-1], b"aes title")
+    enc_dict = (b"<< /Filter /Standard /V 4 /R 4 /Length 128"
+                b" /CF << /StdCF << /CFM /AESV2 /Length 16 >> >>"
+                b" /StmF /StdCF /StrF /StdCF"
+                b" /O <" + owner_o.hex().encode() + b">"
+                b" /U <" + (b"\x00" * 32).hex().encode() + b">"
+                b" /P -1 >>")
+    pdf = _encrypted_pdf(enc_dict, doc_id_bytes, enc_body, enc_title)
+
+    assert b"aes secret words" not in pdf
+    parsed = parse_pdf_doc(pdf)
+    assert [p["text"] for p in parsed] == ["aes secret words"]
+    assert parsed[0]["decode_failures"] == 0
+    d = _Doc(pdf)
+    assert d._enc_cipher == "aes" and len(d._enc_key) == 16
+    assert d.resolve(d.obj(6))["Title"] == b"aes title"
+
+
+def test_encrypted_pdf_aes256_r6():
+    """V5/R6 (AES-256): the file key is recovered by decrypting /UE
+    with the Algorithm-2.B hash of the empty user password and /U's
+    key salt; streams and strings decrypt with the file key directly
+    (no per-object derivation)."""
+    import hashlib
+
+    from pdf_extractor_spark.ops import aes
+    from pdf_extractor_spark.ops.pdfstream import _Doc, _hash_2b
+
+    file_key = hashlib.sha256(b"the-file-key").digest()     # 32 bytes
+    vsalt = bytes(range(8))
+    ksalt = bytes(range(8, 16))
+    u = _hash_2b(b"", vsalt, b"") + vsalt + ksalt            # 48 bytes
+    ik = _hash_2b(b"", ksalt, b"")
+    ue = aes.cbc_encrypt(ik, b"\x00" * 16, file_key, pad=False)
+    assert len(ue) == 32
+
+    body = b"BT /F1 11 Tf 72 720 Td (aes256 secret) Tj ET"
+    iv = bytes(range(16, 32))
+    enc_body = aes.pdf_aes_encrypt(file_key, iv, body)
+    enc_title = aes.pdf_aes_encrypt(file_key, iv[::-1], b"r6 title")
+    enc_dict = (b"<< /Filter /Standard /V 5 /R 6 /Length 256"
+                b" /CF << /StdCF << /CFM /AESV3 /Length 32 >> >>"
+                b" /StmF /StdCF /StrF /StdCF"
+                b" /O <" + (b"\x11" * 48).hex().encode() + b">"
+                b" /OE <" + (b"\x22" * 32).hex().encode() + b">"
+                b" /U <" + u.hex().encode() + b">"
+                b" /UE <" + ue.hex().encode() + b">"
+                b" /P -4 >>")
+    doc_id_bytes = hashlib.md5(b"aes256-test").digest()
+    pdf = _encrypted_pdf(enc_dict, doc_id_bytes, enc_body, enc_title)
+
+    assert b"aes256 secret" not in pdf
+    parsed = parse_pdf_doc(pdf)
+    assert [p["text"] for p in parsed] == ["aes256 secret"]
+    assert parsed[0]["decode_failures"] == 0
+    d = _Doc(pdf)
+    assert d._enc_cipher == "aes" and d._enc_key == file_key
+    assert d.resolve(d.obj(6))["Title"] == b"r6 title"
+
+
+def test_aes_known_answer_vectors():
+    """FIPS-197 Appendix C block vectors (128/192/256) and the NIST
+    SP 800-38A CBC-AES128 vector pin the from-scratch cipher."""
+    from pdf_extractor_spark.ops.aes import (_decrypt_block,
+                                             _encrypt_block,
+                                             _expand_key, cbc_decrypt,
+                                             cbc_encrypt)
+
+    pt = bytes.fromhex("00112233445566778899aabbccddeeff")
+    for keyhex, cthex in [
+        ("000102030405060708090a0b0c0d0e0f",
+         "69c4e0d86a7b0430d8cdb78070b4c55a"),
+        ("000102030405060708090a0b0c0d0e0f1011121314151617",
+         "dda97ca4864cdfe06eaf70a0ec0d7191"),
+        ("000102030405060708090a0b0c0d0e0f"
+         "101112131415161718191a1b1c1d1e1f",
+         "8ea2b7ca516745bfeafc49904b496089"),
+    ]:
+        rk = _expand_key(bytes.fromhex(keyhex))
+        assert _encrypt_block(rk, pt).hex() == cthex
+        assert _decrypt_block(rk, bytes.fromhex(cthex)) == pt
+    key = bytes.fromhex("2b7e151628aed2a6abf7158809cf4f3c")
+    iv = bytes.fromhex("000102030405060708090a0b0c0d0e0f")
+    one = bytes.fromhex("6bc1bee22e409f96e93d7e117393172a")
+    assert cbc_encrypt(key, iv, one, pad=False).hex() == \
+        "7649abac8119b246cee98e9b12e9197d"
+    for n in range(0, 40):                      # padding round trips
+        data = bytes(range(n))
+        assert cbc_decrypt(key, iv, cbc_encrypt(key, iv, data)) == data
