@@ -1245,10 +1245,14 @@ def _tokenize_content(buf: bytes):
 
 
 # A text segment: one show op's glyph clusters with their x-extents.
-# (y_baseline, clusters, x_starts, x_ends, ascent_pts, descent_pts) —
-# clusters align 1:1 with the x arrays (a CID may decode to a
-# multi-codepoint string, so clusters are atomic units, not chars).
-_Seg = tuple[float, list[str], list[float], list[float], float, float]
+# (y_baseline, clusters, x_starts, x_ends, ascent_pts, descent_pts,
+# mono) — clusters align 1:1 with the x arrays (a CID may decode to a
+# multi-codepoint string, so clusters are atomic units, not chars);
+# `mono` is True when the show's char spacing guarantees ascending,
+# gap-free glyph positions (tc ≥ 0 and tc·scale ≤ _X_TOL), which lets
+# line assembly join the whole segment in C instead of per glyph.
+_Seg = tuple[float, list[str], list[float], list[float], float, float,
+             bool]
 
 # pdfplumber's default x_tolerance: a horizontal gap wider than this
 # between adjacent glyphs starts a new word (and, when neither side
@@ -1348,7 +1352,9 @@ def _extract_page(content: bytes, fonts: dict[str, _Font],
         if clusters:
             segs.append((y, clusters, xs0, xs1,
                          (font.ascent * size) / 1000.0,
-                         (font.descent * size) / 1000.0))
+                         (font.descent * size) / 1000.0,
+                         scale > 0.0 and 0.0 <= tc * scale <= _X_TOL
+                         and tw >= 0.0))
 
     for kind, val in _tokenize_content(content):
         if kind != "op":
@@ -1438,8 +1444,36 @@ def _assemble_page(segs: list[_Seg], height: float = 0.0,
     texts: list[str] = []
     words: list[tuple] = []
     for key in sorted(lines, reverse=True):
+        # fast path (text mode): every segment mono (ascending,
+        # intra-gap-free by construction) and segments chain left to
+        # right without overlap → whole-segment joins in C, same
+        # output as the glyph-level walk below (goldens + fuzz pinned)
+        if not want_words and all(s[6] for s in lines[key]):
+            segs_l = lines[key]
+            if len(segs_l) > 1:
+                segs_l = sorted(segs_l, key=lambda s: s[2][0])
+            parts0: list[str] = []
+            run_max = None
+            ok = True
+            for s in segs_l:
+                cl = s[1]
+                x0f = s[2][0]
+                if run_max is not None:
+                    if x0f < run_max - 1e-9:
+                        ok = False          # overlapping segs: exact
+                        break
+                    if x0f - run_max > _X_TOL \
+                            and not cl[0].startswith(" ") \
+                            and not parts0[-1].endswith(" "):
+                        parts0.append(" ")
+                parts0.append("".join(cl))
+                m = max(s[3])
+                run_max = m if run_max is None else max(run_max, m)
+            if ok:
+                texts.append("".join(parts0))
+                continue
         items: list[tuple[float, float, str, float, float]] = []
-        for y, clusters, xs0, xs1, apts, dpts in lines[key]:
+        for y, clusters, xs0, xs1, apts, dpts, _mono in lines[key]:
             top = height - (y + apts)
             bottom = height - (y + dpts)
             for i, cl in enumerate(clusters):

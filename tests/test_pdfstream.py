@@ -719,3 +719,19 @@ def test_aes_known_answer_vectors():
     for n in range(0, 40):                      # padding round trips
         data = bytes(range(n))
         assert cbc_decrypt(key, iv, cbc_encrypt(key, iv, data)) == data
+
+
+def test_text_fast_path_matches_glyph_walk():
+    """parse_pdf_doc's whole-segment fast path and the layout tier's
+    exact glyph-level walk (want_words=True always takes it) must
+    produce identical line text on the same bytes, across all writer
+    representation variants."""
+    from pdf_extractor_spark.ops.pdfstream import parse_pdf_layout_doc
+
+    for doc_id in range(60):
+        text = doc_row(42, doc_id)["text"]
+        pdf = gen_pdf_bytes(doc_id, text)
+        via_fast = "\f".join(p["text"] for p in parse_pdf_doc(pdf))
+        via_slow = "\f".join(t for _, t in
+                             parse_pdf_layout_doc(pdf)["pages"])
+        assert via_fast == via_slow, doc_id
