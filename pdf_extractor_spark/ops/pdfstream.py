@@ -1175,73 +1175,89 @@ class _Doc:
 _OPER_RE = re.compile(rb"[A-Za-z'\"*]+")
 _INLINE_IMG_END = re.compile(rb"[\x00\t\n\x0c\r ]EI(?=[\x00\t\n\x0c\r ]|$)")
 
+# one-pass content lexer: leading whitespace/comments folded into the
+# token match so the hot loop is a single C-level regex call per token
+# (same dispatch as the per-byte scanner it replaced; differential- and
+# golden-pinned). Group order encodes precedence: number before
+# operator, '<<' before '<'.
+_CTOK_RE = re.compile(
+    rb"(?:[\x00\t\n\x0c\r ]|%[^\n]*\n?)*"
+    rb"(?:(?P<num>[+-]?(?:\d+\.?\d*|\.\d+))"
+    rb"|/(?P<name>[^\x00\t\n\x0c\r ()<>\[\]{}/%]*)"
+    rb"|(?P<op>[A-Za-z'\"*]+)"
+    rb"|(?P<open>\[)|(?P<close>\])"
+    rb"|(?P<dict><<)|(?P<hex><)|(?P<lit>\()"
+    rb"|(?P<junk>.))", re.S)
+
 
 def _tokenize_content(buf: bytes):
     """Yield ('str', bytes) | ('num', float) | ('name', str) |
     ('arr', list) | ('op', str) in stream order."""
     i, n = 0, len(buf)
     arr_stack: list[list] = []
+    match = _CTOK_RE.match
     while i < n:
-        i = _skip_ws(buf, i)
-        if i >= n:
+        m = match(buf, i)
+        if m is None:                           # whitespace-only tail
             break
-        c = buf[i:i + 1]
-        if c == b"(":
-            s, i = _parse_literal_string(buf, i)
+        lg = m.lastgroup
+        if lg == "num":
+            v = float(m.group("num"))
+            i = m.end()
+            if arr_stack:
+                arr_stack[-1].append(v)
+            else:
+                yield ("num", v)
+        elif lg == "op":
+            op = m.group("op").decode("latin-1")
+            if op == "BI":                      # inline image (§8.9.7):
+                # binary sample data follows ID and would poison the
+                # lexer; skip through the EI terminator (whitespace-
+                # delimited, the practical heuristic every parser uses
+                # since the data is unframed)
+                me = _INLINE_IMG_END.search(buf, m.end())
+                i = me.end() if me else n
+                continue
+            i = m.end()
+            yield ("op", op)
+        elif lg == "lit":
+            s, i = _parse_literal_string(buf, m.end() - 1)
             if arr_stack:
                 arr_stack[-1].append(s)
             else:
                 yield ("str", s)
-        elif buf.startswith(b"<<", i):          # inline dict (e.g. BDC)
-            _, i = _parse_value(buf, i)
-        elif c == b"<":
-            s, i = _parse_hex_string(buf, i)
-            if arr_stack:
-                arr_stack[-1].append(s)
+        elif lg == "name":
+            raw = m.group("name")
+            i = m.end()
+            if b"#" in raw:                     # rare: #XX escapes
+                nm = str(_parse_name(b"/" + raw, 0)[0])
             else:
-                yield ("str", s)
-        elif c == b"[":
+                nm = raw.decode("latin-1")
+            if arr_stack:
+                arr_stack[-1].append(nm)
+            else:
+                yield ("name", nm)
+        elif lg == "open":
             arr_stack.append([])
-            i += 1
-        elif c == b"]":
-            i += 1
+            i = m.end()
+        elif lg == "close":
+            i = m.end()
             if arr_stack:
                 arr = arr_stack.pop()
                 if arr_stack:
                     arr_stack[-1].append(arr)
                 else:
                     yield ("arr", arr)
-        elif c == b"/":
-            nm, i = _parse_name(buf, i)
+        elif lg == "dict":                      # inline dict (e.g. BDC)
+            _, i = _parse_value(buf, m.end() - 2)
+        elif lg == "hex":
+            s, i = _parse_hex_string(buf, m.end() - 1)
             if arr_stack:
-                arr_stack[-1].append(nm)
+                arr_stack[-1].append(s)
             else:
-                yield ("name", str(nm))
-        else:
-            m = _NUM_RE.match(buf, i)
-            if m:
-                v = float(m.group())
-                i = m.end()
-                if arr_stack:
-                    arr_stack[-1].append(v)
-                else:
-                    yield ("num", v)
-                continue
-            m = _OPER_RE.match(buf, i)
-            if m:
-                op = m.group().decode("latin-1")
-                if op == "BI":                  # inline image (§8.9.7):
-                    # binary sample data follows ID and would poison
-                    # the tokenizer; skip through the EI terminator
-                    # (whitespace-delimited, the practical heuristic
-                    # every parser uses since the data is unframed)
-                    me = _INLINE_IMG_END.search(buf, m.end())
-                    i = me.end() if me else len(buf)
-                    continue
-                yield ("op", op)
-                i = m.end()
-            else:
-                i += 1                          # unknown byte: skip
+                yield ("str", s)
+        else:                                   # junk byte: skip
+            i = m.end()
 
 
 # A text segment: one show op's glyph clusters with their x-extents.
@@ -1366,19 +1382,30 @@ def _extract_page(content: bytes, fonts: dict[str, _Font],
             if op == "BT":
                 lx = ly = x = y = 0.0
             elif op == "Tf" and len(operands) >= 2:
-                size = float(operands[-1][1])
+                # guard: ficha-style streams re-issue Tf per cell with
+                # the same state — skip the (memo-hit) rebuild then
+                sz = float(operands[-1][1])
+                f2 = font
                 if operands[-2][0] == "name":
-                    font = fonts.get(operands[-2][1], first_font)
-                rebuild()
+                    f2 = fonts.get(operands[-2][1], first_font)
+                if sz != size or f2 is not font:
+                    size, font = sz, f2
+                    rebuild()
             elif op == "Tz" and operands:
-                tz = float(operands[-1][1])
-                rebuild()
+                v2 = float(operands[-1][1])
+                if v2 != tz:
+                    tz = v2
+                    rebuild()
             elif op == "Tc" and operands:
-                tc = float(operands[-1][1])
-                rebuild()
+                v2 = float(operands[-1][1])
+                if v2 != tc:
+                    tc = v2
+                    rebuild()
             elif op == "Tw" and operands:
-                tw = float(operands[-1][1])
-                rebuild()
+                v2 = float(operands[-1][1])
+                if v2 != tw:
+                    tw = v2
+                    rebuild()
             elif op == "Td" and len(operands) >= 2:
                 lx += operands[-2][1]
                 ly += operands[-1][1]
