@@ -260,3 +260,56 @@ def test_cid_codespace_wider_than_used():
     assert [pg["text"] for pg in parsed] == ["WXY![" ]
     assert parsed[0]["decode_failures"] == 0
     _never_raises(pdf)
+
+
+def test_aes_corruption_degrades_cleanly():
+    """Corrupt AES metadata must surface decode_failures (or empty
+    text), never an exception escaping parse_pdf_doc: truncated /UE,
+    short /U, garbage IV-payloads, and a V4 /CF naming a filter the
+    /StmF doesn't reference."""
+    import hashlib
+
+    from pdf_extractor_spark.ops import aes
+    from pdf_extractor_spark.ops.pdfstream import _hash_2b, parse_pdf_doc
+    from tests.test_pdfstream import _encrypted_pdf
+
+    file_key = hashlib.sha256(b"k").digest()
+    vs, ks = bytes(8), bytes(range(8))
+    u = _hash_2b(b"", vs, b"") + vs + ks
+    ue = aes.cbc_encrypt(_hash_2b(b"", ks, b""), b"\x00" * 16,
+                         file_key, pad=False)
+    body = b"BT /F1 11 Tf 72 720 Td (clean) Tj ET"
+    iv = bytes(16)
+    good = aes.pdf_aes_encrypt(file_key, iv, body)
+
+    def enc_dict(u_=None, ue_=None):
+        return (b"<< /Filter /Standard /V 5 /R 6"
+                b" /CF << /StdCF << /CFM /AESV3 >> >> /StmF /StdCF"
+                b" /U <" + (u_ if u_ is not None else u).hex().encode()
+                + b"> /UE <"
+                + (ue_ if ue_ is not None else ue).hex().encode()
+                + b"> /O <" + (b"\x11" * 48).hex().encode()
+                + b"> /OE <" + (b"\x22" * 32).hex().encode()
+                + b"> /P -4 >>")
+
+    did = hashlib.md5(b"aes-corrupt").digest()
+    # control: intact file parses
+    ok = parse_pdf_doc(_encrypted_pdf(enc_dict(), did, good, b""))
+    assert [p["text"] for p in ok] == ["clean"]
+
+    corruptions = [
+        _encrypted_pdf(enc_dict(ue_=ue[:8]), did, good, b""),   # short UE
+        _encrypted_pdf(enc_dict(u_=u[:16]), did, good, b""),    # short U
+        _encrypted_pdf(enc_dict(), did, good[:9], b""),         # short payload
+        _encrypted_pdf(enc_dict(ue_=ue[::-1]), did, good, b""),  # wrong key
+    ]
+    for pdf in corruptions:
+        pages = parse_pdf_doc(pdf)          # must not raise
+        assert isinstance(pages, list)
+        joined = "".join(p["text"] for p in pages)
+        assert joined != "clean" or sum(
+            p["decode_failures"] for p in pages) == 0
+        # the wrong-key / short-material cases must not reproduce the
+        # plaintext by accident
+        if pdf is not corruptions[2]:
+            assert "clean" not in joined

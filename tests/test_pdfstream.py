@@ -735,3 +735,29 @@ def test_text_fast_path_matches_glyph_walk():
         via_slow = "\f".join(t for _, t in
                              parse_pdf_layout_doc(pdf)["pages"])
         assert via_fast == via_slow, doc_id
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.binary(min_size=0, max_size=400))
+def test_content_lexer_never_raises(blob):
+    """The one-pass content lexer must terminate and never raise on
+    arbitrary byte soup (content streams of crawled PDFs contain
+    anything); every yielded token is one of the five kinds."""
+    from pdf_extractor_spark.ops.pdfstream import _tokenize_content
+
+    kinds = {"str", "num", "name", "arr", "op"}
+    for kind, val in _tokenize_content(blob):
+        assert kind in kinds
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.sampled_from(
+    [b"BT", b"ET", b"Tj", b"TJ", b"Tf", b"Td", b"12.5", b"-3", b"/F1",
+     b"(txt)", b"<48656c6c6f>", b"[", b"]", b"(a(b)c)", b"%cmt\n",
+     b"<< /K /V >>", b"T*", b"'", b"\xff\x00"]), max_size=40))
+def test_content_lexer_token_soup(parts):
+    """Structured token soup (valid tokens in random order, including
+    unbalanced arrays and nested strings) lexes without error."""
+    from pdf_extractor_spark.ops.pdfstream import _tokenize_content
+
+    list(_tokenize_content(b" ".join(parts)))
