@@ -47,6 +47,13 @@ def main() -> None:
     ap.add_argument("--start", default="2019-01")
     ap.add_argument("--end", default="2021-12")
     ap.add_argument("--minutes-mode", action="store_true")
+    ap.add_argument("--salted-max-pages", type=int, default=None,
+                    metavar="N",
+                    help="skew mode: split documents longer than N pages "
+                         "into parallel page-range chunks with exact "
+                         "carry-state handoff (engine2/salted — output "
+                         "pinned identical to the plain kernel); use when "
+                         "single oversized documents dominate task time")
     ap.add_argument("--pdf-col", default=None,
                     help="treat --pages as (url, <col> binary) of raw PDF "
                          "bytes: the from-scratch object-stream parser "
@@ -113,8 +120,18 @@ def main() -> None:
     # ---- Engine 2 ------------------------------------------------------
     # A6 adjustment fused into the kernel (per-document math — saves the
     # pivot + three joins of the relational form; byte-identical, pinned)
-    long_df = e2.extract_ficha(pages, adjust_vacation=True).persist()
-    vals = e2.values_table(long_df)
+    if args.salted_max_pages:
+        # skew mode: page-range chunk split + exact carry handoff; the
+        # salted kernel has no fused-A6 variant, so apply the pinned
+        # relational form on its values table instead
+        from pdf_extractor_spark.engine2.salted import extract_ficha_salted
+
+        long_df = extract_ficha_salted(
+            pages, max_pages=args.salted_max_pages).persist()
+        vals = e2.apply_vacation_adjustments_df(e2.values_table(long_df))
+    else:
+        long_df = e2.extract_ficha(pages, adjust_vacation=True).persist()
+        vals = e2.values_table(long_df)
     io.append(e2.default_series_table(vals, "3123-Base", start, end),
               "proventos")
     io.append(e2.default_series_table(vals, "8-Insalubridade", start, end),
