@@ -148,6 +148,13 @@ def main() -> None:
               "audit_e1")
     io.append(audit.build_audit(e2.metrics_table(long_df), args.run_id),
               "audit_e2")
+    if args.pdf_col:
+        # parse-level lineage (north-star metric triple: pages parsed,
+        # decode failures, word/span counts) — straight off the cached
+        # front-door output, per document + partition
+        io.append(audit.build_audit(
+            pages.select("url", "n_pages", "n_words", "decode_failures"),
+            args.run_id), "audit_parse")
     resume.update_manifest(pages.select("url"), manifest, args.run_id)
 
     n = pages.count()
