@@ -116,6 +116,39 @@ def stream_extract_pdf(
     return writer.start()
 
 
+def stream_extract_pdf_e2(
+    spark: SparkSession,
+    pages_path: str,
+    out_path: str,
+    checkpoint: str,
+    pdf_col: str = "pdf",
+    available_now: bool = True,
+):
+    """Streaming face of the HEADLINE bytes path: raw PDFs →
+    `parse_pdf_layout` word boxes → the Engine-2 layout kernel — both
+    stages are stateless scan→mapInPandas maps (document-local carry
+    lives inside the kernel), so the whole chain runs on a streaming
+    DataFrame directly: newly-crawled PDF files become ficha extraction
+    rows incrementally, exactly-once at file granularity via the
+    checkpoint (Iceberg: snapshot-id incremental reads, same plan)."""
+    from .engine2 import pipeline as e2
+    from .ops.pdfstream import parse_pdf_layout
+
+    stream = (spark.readStream
+              .schema(f"url string, {pdf_col} binary")
+              .parquet(pages_path))
+    long_df = e2.extract_ficha(
+        parse_pdf_layout(stream, pdf_col=pdf_col),
+        repartition=False, adjust_vacation=True)
+    writer = (long_df.writeStream.format("parquet")
+              .outputMode("append")
+              .option("path", out_path)
+              .option("checkpointLocation", checkpoint))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def stream_audit_rollup(
     spark: SparkSession,
     pages_path: str,

@@ -218,3 +218,50 @@ def test_stream_extract_pdf_incremental(spark, tmp_path):
     got2 = spark.read.parquet(out_dir)
     assert got2.count() == 45
     assert {r.doc_id for r in got2.collect()} == set(range(45))
+
+
+def test_stream_extract_pdf_e2_incremental(spark, tmp_path):
+    """The HEADLINE bytes path as a stream: raw ficha PDFs →
+    parse_pdf_layout → Engine-2, batch-equal values, incremental file
+    pickup over a shared checkpoint (the whole chain is stateless
+    scan→mapInPandas maps)."""
+    from pdf_extractor_spark.datagen import gen_e2_pdf_bytes
+    from pdf_extractor_spark.engine2 import pipeline as e2
+    from pdf_extractor_spark.ops.pdfstream import parse_pdf_layout
+    from pdf_extractor_spark.streaming import stream_extract_pdf_e2
+
+    pages_dir = str(tmp_path / "e2pages")
+    out_dir = str(tmp_path / "e2out")
+    ckpt = str(tmp_path / "e2ckpt")
+
+    fichas = [i for i in range(200)
+              if gen_e2_pdf_bytes(42, i)][:30]
+
+    def mkfile(ids):
+        rows = [{"url": f"synth://ficha/{i:08d}",
+                 "pdf": gen_e2_pdf_bytes(42, i)} for i in ids]
+        (spark.createDataFrame(rows, "url string, pdf binary")
+         .coalesce(1).write.mode("append").parquet(pages_dir))
+
+    def key_set(df):
+        return {(r.url, r.code, r.year, r.month, str(r.value))
+                for r in df.collect()}
+
+    mkfile(fichas[:20])
+    stream_extract_pdf_e2(spark, pages_dir, out_dir, ckpt) \
+        .awaitTermination(180)
+    got1 = spark.read.parquet(out_dir)
+    batch = e2.extract_ficha(
+        parse_pdf_layout(spark.read.parquet(pages_dir)),
+        adjust_vacation=True)
+    assert key_set(got1) == key_set(batch)
+
+    mkfile(fichas[20:])     # a new crawl segment arrives
+    stream_extract_pdf_e2(spark, pages_dir, out_dir, ckpt) \
+        .awaitTermination(180)
+    got2 = spark.read.parquet(out_dir)
+    batch2 = e2.extract_ficha(
+        parse_pdf_layout(spark.read.parquet(pages_dir)),
+        adjust_vacation=True)
+    assert key_set(got2) == key_set(batch2)
+    assert len(key_set(got2)) > len(key_set(got1))
