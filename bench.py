@@ -81,8 +81,18 @@ def run_bench(spark, sf_dir: str) -> dict:
     # JIT/codegen warm-up on a tiny corpus so the measured numbers are
     # steady-state throughput, not first-run compilation
     warm = spark.read.parquet(ensure_corpus(spark, 100))
-    e1.extract_folha(warm)[0].count()
-    e2.values_table(e2.extract_ficha(warm)).count()
+    wv, wa = e1.extract_folha(warm)
+    wv.count()
+    wa.count()
+    # warm the EXACT measured Engine-2 plan set (adjusted long table,
+    # series projection, metrics) — an unwarmed plan pays codegen +
+    # Python-worker pool growth inside the timed section, which showed
+    # up as ±2-3x snapshot-to-snapshot spread on e2_extract
+    wl = e2.extract_ficha(warm, adjust_vacation=True).persist()
+    e2.default_series_table(e2.values_table(wl), "3123-Base",
+                            (2019, 1), (2019, 3)).count()
+    e2.metrics_table(wl).count()
+    wl.unpersist()
     spark.catalog.clearCache()
 
     def timed(name: str, fn):
