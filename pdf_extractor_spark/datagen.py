@@ -40,9 +40,11 @@ from .payload import Word, encode_layout
 
 BASE_TS = _dt.datetime(2025, 7, 14, 19, 3, 42)
 
-# bump whenever generated content changes — benchmark corpus caches key
-# on it so stale corpora are never reused
-DATAGEN_REV = 3
+# bump whenever generated content OR cached layout changes — benchmark
+# corpus caches key on it so stale corpora are never reused (r4: the
+# default partition floor moved to the core count, which changes the
+# cached parquet's file layout and thus warm-up/scan parallelism)
+DATAGEN_REV = 4
 
 MONTH_FULL = [
     "janeiro", "fevereiro", "março", "abril", "maio", "junho",
@@ -460,9 +462,13 @@ def corpus_df(spark, n_docs: int, seed: int = 42, partitions: int | None = None)
         for batch in batches:
             yield pd.DataFrame([gen_row(seed, int(i)) for i in batch["id"]])
 
-    rng_df = spark.range(
-        0, n_docs, 1,
-        partitions or min(512, max(8, n_docs // 64 or 1)))
+    # floor at the core count (not a constant): a warm-up or small
+    # corpus generated below cluster width leaves the Python worker
+    # pool partially grown, and the first TIMED query then absorbs the
+    # remaining worker forks (measured ~7 s at 32 cores in BENCH_r05)
+    default_p = min(512, max(spark.sparkContext.defaultParallelism,
+                             n_docs // 64 or 1))
+    rng_df = spark.range(0, n_docs, 1, partitions or default_p)
     return rng_df.mapInPandas(gen, schema=PAGES_SCHEMA)
 
 
@@ -520,7 +526,8 @@ def documents_df(spark, n_docs: int, seed: int = 42,
 
     rng_df = spark.range(
         0, n_docs, 1,
-        partitions or min(512, max(8, n_docs // 256 or 1)))
+        partitions or min(512, max(spark.sparkContext.defaultParallelism,
+                                   n_docs // 256 or 1)))
     return rng_df.mapInPandas(gen, schema=DOCUMENTS_SCHEMA)
 
 
@@ -1200,12 +1207,23 @@ PDF_PAGES_SCHEMA = "doc_id bigint, pdf binary"
 
 
 def pdfs_from_documents(docs, id_col: str = "doc_id",
-                        text_col: str = "text"):
+                        text_col: str = "text", rebalance: bool = True):
     """(doc_id, pdf) — render each document's text as PDF bytes.
     Arrow-batched mapInPandas, pure function of the input row; at scale
     this is the synthetic stand-in for reading `html:binary` payloads
-    of content-type application/pdf from the pages table."""
+    of content-type application/pdf from the pages table.
+
+    `rebalance` (size-gated, see ops.layout): the render kernel is the
+    expensive stage, and the testdata documents table is a single
+    parquet row group — without a round-robin rebalance the whole
+    render+parse tier runs on one core. At production input sizes the
+    gate never fires and the tier keeps its zero-exchange plan."""
     import pandas as pd
+
+    if rebalance:
+        from .ops.layout import rebalance_narrow
+
+        docs = rebalance_narrow(docs)
 
     def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:

@@ -110,8 +110,10 @@ def extract_main_text(pages: DataFrame, html_col: str = "html_text",
     that parsed the doc (captured BEFORE any exchange, so it names the
     extraction task, i.e. real lineage)."""
     from .boilerplate import extract_main_content
+    from .layout import rebalance_narrow
 
-    ext = extract_main_content(pages, html_col=html_col, id_col=id_col)
+    ext = extract_main_content(rebalance_narrow(pages),
+                               html_col=html_col, id_col=id_col)
     cols = [F.col(id_col).alias("doc_id"),
             F.col("main_text").alias("text")]
     if with_metrics:

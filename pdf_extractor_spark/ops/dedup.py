@@ -37,7 +37,9 @@ def exact_duplicates(docs: DataFrame, id_col: str = "doc_id",
                      text_col: str = "text") -> DataFrame:
     """Hash-groupBy exact dedup: groups with >1 member, with the
     canonical (minimum) id per group."""
-    h = docs.select(
+    from .layout import rebalance_narrow
+
+    h = rebalance_narrow(docs).select(
         F.col(id_col).alias("doc_id"),
         F.md5(normalize_text(F.col(text_col))).alias("content_hash"),
     )
@@ -53,13 +55,69 @@ def exact_duplicates(docs: DataFrame, id_col: str = "doc_id",
 
 
 def shingles(col: Column, k: int = 5) -> Column:
-    """Word k-shingles of the normalized text (array<string>)."""
+    """Word k-shingles of the normalized text (array<string>).
+
+    NOTE: when `col` is a raw text column this inlines the
+    normalize+split into every slice of the transform lambda, which
+    Catalyst re-evaluates per shingle — O(n_words²) regexp+split work
+    per document (measured 10× the whole explode stage at sf1.0). Use
+    `shingle_rows` (which materializes the split in its own projection)
+    for any corpus-side pipeline; this Column form is kept for
+    callers that already pass a cheap column."""
     words = F.split(normalize_text(col), " ")
+    return _shingles_of_words(words, k)
+
+
+def _shingles_of_words(words: Column, k: int) -> Column:
+    """k-shingles of an already-split words array column."""
     n = F.size(words)
     return F.when(n >= k, F.transform(
         F.sequence(F.lit(0), n - k),
         lambda i: F.array_join(F.slice(words, i + 1, k), " "),
     )).otherwise(F.array(F.array_join(words, " ")))
+
+
+def shingle_rows(docs: DataFrame, id_col: str, text_col: str, k: int,
+                 out_id: str = "doc_id", rebalance: bool = True) -> DataFrame:
+    """Exploded (out_id, shingle) table with the normalized-word split
+    materialized in its OWN projection before the shingle transform.
+
+    The projection boundary stops Catalyst from re-inlining the
+    normalize+split expression into every slice of the transform
+    lambda (guide §1.2/§4: fix the per-task work): inlined, each
+    document pays n_shingles+1 regexp_replace+split evaluations —
+    measured 32.6 s vs 3.1 s for the bare explode+count at sf1.0.
+
+    The input is rebalanced first when it is provably narrow (single-
+    row-group parquet cannot feed more than one task regardless of
+    split count — see ops.layout): the shingle explode is the
+    expensive stage and must run at full width."""
+    from .layout import rebalance_narrow
+
+    if rebalance:
+        docs = rebalance_narrow(docs)
+    words = docs.select(
+        F.col(id_col).alias(out_id),
+        F.split(normalize_text(F.col(text_col)), " ").alias("__words"))
+    return words.select(
+        out_id,
+        F.explode(_shingles_of_words(F.col("__words"), k)).alias("shingle"))
+
+
+def hashed_shingle_rows(docs: DataFrame, id_col: str, text_col: str,
+                        k: int, out_id: str = "doc_id",
+                        rebalance: bool = True) -> DataFrame:
+    """(out_id, h64) — xxhash64 of each k-shingle, hashed in the
+    projection right above the Generate so shingle STRINGS never cross
+    an exchange (guide §2.3: shuffle hashes, not payloads — a shingle
+    row shrinks from ~30+ chars to 8 bytes). Every MinHash consumer
+    (signature min, band hash, set Jaccard, inverted index) only ever
+    reads the shingle through this hash, so results are unchanged
+    except for 64-bit collisions (~n²/2^65 per doc pair — negligible
+    against the test corpora and the LSH approximation itself)."""
+    sr = shingle_rows(docs, id_col, text_col, k, out_id,
+                      rebalance=rebalance)
+    return sr.select(out_id, F.xxhash64("shingle").alias("h64"))
 
 
 def _perm_params(n_perm: int, seed: int = 42) -> list[tuple[int, int]]:
@@ -68,6 +126,19 @@ def _perm_params(n_perm: int, seed: int = 42) -> list[tuple[int, int]]:
     rng = random.Random(seed)
     return [(rng.randrange(1, MERSENNE), rng.randrange(0, MERSENNE))
             for _ in range(n_perm)]
+
+
+def _signatures_from_hashed(sh: DataFrame, n_perm: int,
+                            seed: int) -> DataFrame:
+    """(doc_id, h64) rows → n_perm-column signature (one map-side-
+    combinable groupBy; min is duplicate-insensitive so the input may
+    be distinct or raw)."""
+    h = F.pmod(F.col("h64"), F.lit(MERSENNE))
+    aggs = [
+        F.min((h * F.lit(a) + F.lit(b)) % F.lit(MERSENNE)).alias(f"mh_{i}")
+        for i, (a, b) in enumerate(_perm_params(n_perm, seed))
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
 
 
 def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
@@ -81,8 +152,8 @@ def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
 
     `dedup_shingles` does not change the result (min is
     duplicate-insensitive); it changes the plan. True keeps a distinct
-    on the exploded (doc_id, shingle) table — a full-width exchange,
-    but one that `minhash_lsh_pairs`'s verify stage shares verbatim, so
+    on the exploded (doc_id, h64) table — an exchange of 16-byte rows
+    that `minhash_lsh_pairs`'s verify stage shares verbatim, so
     Spark's ReusedExchange computes it once (fastest measured shape at
     sandbox scale). False skips it: the groupBy's map-side partial min
     shuffles only 64 longs per doc — the shape to use when signatures
@@ -90,17 +161,10 @@ def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
     (10^12-doc scale, where verify touches only candidate docs and
     shares nothing).
     """
-    sh = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(shingles(F.col(text_col), k)).alias("shingle"))
+    sh = hashed_shingle_rows(docs, id_col, text_col, k)
     if dedup_shingles:
         sh = sh.distinct()
-    sh = sh.withColumn("h", F.pmod(F.xxhash64("shingle"), F.lit(MERSENNE)))
-    aggs = [
-        F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(MERSENNE)).alias(f"mh_{i}")
-        for i, (a, b) in enumerate(_perm_params(n_perm, seed))
-    ]
-    return sh.groupBy("doc_id").agg(*aggs)
+    return _signatures_from_hashed(sh, n_perm, seed)
 
 
 # Above this corpus size the shared-distinct subtree's corpus-wide
@@ -218,6 +282,30 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
     return pairs
 
 
+def _bucket_pairs(keyed: DataFrame, key_cols: list[str],
+                  max_bucket: int) -> DataFrame:
+    """Distinct ordered (a, b) pairs of doc_ids sharing a key, buckets
+    larger than `max_bucket` dropped — ONE keyed exchange: groupBy key
+    → sorted collect_list → size cap → nested-transform pair explode.
+    Replaces the bucket-count + semi-join + self-equi-join shape (three
+    evaluations of the keyed table, two extra exchanges and two sorts)
+    with plain per-bucket array work (guide §2.4: remove shuffles
+    outright). Identical output: every unordered pair within a
+    surviving bucket, a < b, distinct across buckets."""
+    buckets = (keyed.groupBy(*key_cols)
+               .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+               .filter(F.size("ids") <= max_bucket)
+               .filter(F.size("ids") >= 2))
+    ids = F.col("ids")
+    pair_arr = F.flatten(F.transform(
+        ids,
+        lambda a, i: F.transform(
+            F.slice(ids, i + 2, F.size(ids)),
+            lambda b: F.struct(a.alias("a"), b.alias("b")))))
+    return (buckets.select(F.explode(pair_arr).alias("p"))
+            .select("p.a", "p.b").distinct())
+
+
 def minhash_lsh_pairs_with_bands(
         docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
         k: int = 5, n_perm: int = 64, bands: int = 16,
@@ -227,77 +315,109 @@ def minhash_lsh_pairs_with_bands(
     the LSH index rows a resumable job persists as state so the next
     increment joins new docs against them instead of re-banding the
     corpus."""
-    banded = minhash_band_hashes(docs, id_col, text_col, k, n_perm,
-                                 bands, seed,
-                                 dedup_shingles=not scale_shape)
-    capped = cap_megabuckets(banded, max_bucket)
-    cand = band_candidates(capped)
-    verify_docs = docs
-    if scale_shape:
-        cand_ids = (cand.select(F.col("a").alias(id_col))
-                    .unionByName(cand.select(F.col("b").alias(id_col)))
-                    .distinct())
-        verify_docs = docs.join(cand_ids, id_col, "left_semi")
-    jac = jaccard_for_pairs(verify_docs, cand, id_col, text_col, k)
+    sh = hashed_shingle_rows(docs, id_col, text_col, k)
+    rows = n_perm // bands
+    band_cols = [
+        F.struct(F.lit(bi).alias("band_idx"),
+                 F.xxhash64(*[f"mh_{bi * rows + r}" for r in range(rows)])
+                 .alias("band_hash"))
+        for bi in range(bands)
+    ]
+    if not scale_shape:
+        # ONE groupBy(doc_id) computes the 64 signature mins AND the
+        # verify hash set — a single exchange feeds signature, banding
+        # and Jaccard (the old shape paid a distinct exchange plus two
+        # downstream groupBys; measured 5.5 → 4.8 s at sf1.0). min is
+        # duplicate-insensitive and |set| comes from collect_set, so
+        # skipping the pre-distinct changes nothing.
+        h = F.pmod(F.col("h64"), F.lit(MERSENNE))
+        aggs = [
+            F.min((h * F.lit(a) + F.lit(b)) % F.lit(MERSENNE)).alias(f"mh_{i}")
+            for i, (a, b) in enumerate(_perm_params(n_perm, seed))
+        ]
+        doc_tbl = sh.groupBy("doc_id").agg(
+            F.collect_set("h64").alias("hs"), *aggs)
+        sig = doc_tbl.drop("hs")
+        sets = doc_tbl.select("doc_id", "hs", F.size("hs").alias("n"))
+        banded = (sig.select("doc_id",
+                             F.explode(F.array(*band_cols)).alias("b"))
+                  .select("doc_id", "b.band_idx", "b.band_hash"))
+        cand = _bucket_pairs(banded, ["band_idx", "band_hash"], max_bucket)
+        jac = _jaccard_from_sets(sets, cand)
+        return jac.filter(F.col("jaccard") >= threshold), banded
+    # the 10^12-doc shape: the only corpus-wide exchange carries the 64
+    # partial mins per doc (never per-shingle rows); verify re-explodes
+    # candidate docs only (candidates ≪ corpus in this regime)
+    sig = _signatures_from_hashed(sh, n_perm, seed)
+    banded = (sig.select("doc_id", F.explode(F.array(*band_cols)).alias("b"))
+              .select("doc_id", "b.band_idx", "b.band_hash"))
+    cand = _bucket_pairs(banded, ["band_idx", "band_hash"], max_bucket)
+    cand_ids = (cand.select(F.col("a").alias("doc_id"))
+                .unionByName(cand.select(F.col("b").alias("doc_id")))
+                .distinct())
+    verify_sh = sh.join(cand_ids, "doc_id", "left_semi").distinct()
+    jac = _jaccard_from_hashed(verify_sh, cand)
     return jac.filter(F.col("jaccard") >= threshold), banded
+
+
+def _jaccard_from_hashed(sh: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Exact shingle-set Jaccard from a DISTINCT (doc_id, h64) table:
+    per-doc hash sets via one groupBy, then `_jaccard_from_sets`."""
+    sets = sh.groupBy("doc_id").agg(F.collect_list("h64").alias("hs"),
+                                    F.count("*").alias("n"))
+    return _jaccard_from_sets(sets, pairs)
+
+
+def _jaccard_from_sets(sets: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Exact set Jaccard from a (doc_id, hs array<long>, n) table:
+    |A∩B| via array_intersect per candidate pair. The per-pair set
+    intersection replaces the old pairs×shingles exploded join chain
+    (which exchanged the whole shingle table by (doc_id, shingle)
+    twice); candidate sets are bounded by doc length, so the array row
+    stays small."""
+    a_sets = sets.select(F.col("doc_id").alias("a"),
+                         F.col("hs").alias("hs_a"), F.col("n").alias("n_a"))
+    b_sets = sets.select(F.col("doc_id").alias("b"),
+                         F.col("hs").alias("hs_b"), F.col("n").alias("n_b"))
+    inter = F.size(F.array_intersect("hs_a", "hs_b"))
+    return (pairs.join(a_sets, "a").join(b_sets, "b")
+            .withColumn("inter", inter)
+            .withColumn(
+                "jaccard",
+                F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")))
+            .select("a", "b", "jaccard"))
 
 
 def jaccard_for_pairs(docs: DataFrame, pairs: DataFrame,
                       id_col: str = "doc_id", text_col: str = "text",
                       k: int = 5) -> DataFrame:
     """Exact shingle-set Jaccard for candidate (a, b) pairs."""
-    sh = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(shingles(F.col(text_col), k)).alias("shingle"),
-    ).distinct()
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    sha = sh.select(F.col("doc_id").alias("a"), "shingle")
-    shb = sh.select(F.col("doc_id").alias("b"), "shingle")
-    inter = (
-        pairs.join(sha, "a").join(shb, ["b", "shingle"])
-        .groupBy("a", "b").agg(F.count("*").alias("inter"))
-    )
-    na = sizes.select(F.col("doc_id").alias("a"), F.col("n").alias("n_a"))
-    nb = sizes.select(F.col("doc_id").alias("b"), F.col("n").alias("n_b"))
-    return (
-        pairs.join(inter, ["a", "b"], "left")
-        .withColumn("inter", F.coalesce("inter", F.lit(0)))
-        .join(na, "a").join(nb, "b")
-        .withColumn(
-            "jaccard",
-            F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")),
-        )
-        .select("a", "b", "jaccard")
-    )
+    sh = hashed_shingle_rows(docs, id_col, text_col, k).distinct()
+    return _jaccard_from_hashed(sh, pairs)
 
 
 def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
                         text_col: str = "text", k: int = 3,
                         threshold: float = 0.5) -> DataFrame:
     """n-gram Jaccard dedup via shared-shingle candidate generation
-    (inverted-index join), then exact verification. Unlike LSH this is
+    (inverted index), then exact verification. Unlike LSH this is
     exact at the chosen n-gram size; candidate count is bounded by
     shared-shingle co-occurrence."""
-    sh = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(shingles(F.col(text_col), k)).alias("shingle"),
-    ).distinct()
-    # drop ubiquitous shingles (stopword-only n-grams) — same megabucket
-    # guard as LSH; keeps the inverted index join linear-ish
-    df_counts = sh.groupBy("shingle").count()
-    rare = df_counts.filter(F.col("count") <= 100).select("shingle")
-    shr = sh.join(rare, "shingle", "left_semi")
-    a = shr.select(F.col("doc_id").alias("a"), "shingle")
-    b = shr.select(F.col("doc_id").alias("b"), "shingle")
-    cand = (a.join(b, "shingle").filter(F.col("a") < F.col("b"))
-            .select("a", "b").distinct())
-    return jaccard_for_pairs(docs, cand, id_col, text_col, k).filter(
+    sh = hashed_shingle_rows(docs, id_col, text_col, k).distinct()
+    # ubiquitous shingles (stopword-only n-grams) are dropped by the
+    # same bucket cap as LSH; one exchange builds the inverted index
+    # and explodes its co-occurrence pairs
+    cand = _bucket_pairs(sh, ["h64"], 100)
+    return _jaccard_from_hashed(sh, cand).filter(
         F.col("jaccard") >= threshold)
 
 
 def simhash_signatures(docs: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text", bits: int = 64) -> DataFrame:
     """64-bit SimHash: per-token xxhash64, per-bit ±1 vote, sign → bit."""
+    from .layout import rebalance_narrow
+
+    docs = rebalance_narrow(docs)
     toks = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("tok"),
@@ -365,23 +485,21 @@ def contamination_flags(docs: DataFrame, eval_docs: DataFrame,
     than k words produce their whole-text shingle (same fallback as
     `shingles`), so short-text exact matches still flag.
     """
-    ev = eval_docs.select(
-        F.col(eval_id_col).alias("eval_id"),
-        F.explode(shingles(F.col(eval_text_col), k)).alias("shingle"),
-    ).distinct()
+    # eval side is tiny by contract — no rebalance (it would break the
+    # single-partition shortcut that lets its distinct skip an exchange)
+    ev = hashed_shingle_rows(eval_docs, eval_id_col, eval_text_col, k,
+                             out_id="eval_id", rebalance=False).distinct()
     # No corpus-side distinct before the join: the eval side is
     # broadcast precisely so corpus data never shuffles, and a pre-join
     # distinct would exchange every corpus shingle (~n_words rows per
     # doc — at 100 TB that one distinct shuffles ~100x the corpus
     # bytes). Dedup AFTER the join instead: countDistinct touches only
     # the colliding rows, and "distinct shared shingles per (doc, eval)
-    # pair" is the same quantity either way.
-    sh = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(shingles(F.col(text_col), k)).alias("shingle"),
-    )
+    # pair" is the same quantity either way. Both sides probe on the
+    # 8-byte shingle hash, never the ~13-word string (guide §2.3).
+    sh = hashed_shingle_rows(docs, id_col, text_col, k)
     return (
-        sh.join(F.broadcast(ev), "shingle")
+        sh.join(F.broadcast(ev), "h64")
         .groupBy("doc_id", "eval_id")
-        .agg(F.countDistinct("shingle").alias("n_collisions"))
+        .agg(F.countDistinct("h64").alias("n_collisions"))
     )

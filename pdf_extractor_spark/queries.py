@@ -847,13 +847,16 @@ SELECT query_id, neighbor_id, rank FROM (
   FROM scored) WHERE rank <= 10
 """)
 def sim_cosine_topk(spark, sf_dir):
+    from .ops.layout import rebalance_narrow
     from .ops.similarity import cosine
 
     emb = T(spark, sf_dir, "embeddings")
     q_df = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
-    c_df = emb.select(F.col("vec_id").alias("neighbor_id"),
-                      F.col("embedding").alias("v"))
+    # the corpus side carries the broadcast-NL dot products — rebalance
+    # the single-row-group scan so the scoring runs at full width
+    c_df = rebalance_narrow(emb).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("v"))
     scored = (
         c_df.crossJoin(F.broadcast(q_df))
         .filter(F.col("query_id") != F.col("neighbor_id"))
@@ -1221,8 +1224,13 @@ def _planted_curation_corpus(spark, sf_dir):
     lowq = spark.createDataFrame(
         [(3000000, "1 2 3"), (3000001, "1 2 3 4 5 6")],
         "doc_id long, text string")
-    return (d.unionByName(copies).unionByName(perturbed)
-            .unionByName(lowq))
+    from .ops.layout import rebalance_narrow
+
+    # single-row-group testdata: rebalance once here so every consumer
+    # (gate regexes, shingle explodes) runs at full width; shingle_rows'
+    # own guard sees the Repartition node and does not re-shuffle
+    return rebalance_narrow(
+        d.unionByName(copies).unionByName(perturbed).unionByName(lowq))
 
 
 @q("curate_corpus", _curate_sql())
@@ -1509,8 +1517,9 @@ def extract_main_content_q(spark, sf_dir):
     md5(to_json(spans)) because the driver canonicalizer cannot sort
     struct arrays."""
     from .ops.boilerplate import extract_main_content
+    from .ops.layout import rebalance_narrow
 
-    d = T(spark, sf_dir, "documents")
+    d = rebalance_narrow(T(spark, sf_dir, "documents"))
     pages = d.select(
         "doc_id", _wrap_html_col(F.col("doc_id"), F.col("text"))
         .alias("html_text"))

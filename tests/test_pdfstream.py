@@ -250,8 +250,12 @@ def test_nested_page_tree():
 
 
 def test_pdf_parse_shuffle_free_plan(spark, sf_dir):
-    """render → parse must be scan → mapInPandas → mapInPandas with no
-    exchange anywhere — the whole tier is embarrassingly parallel."""
+    """render → parse is scan → mapInPandas → mapInPandas with no
+    KEYED exchange anywhere — the tier is embarrassingly parallel. At
+    production input sizes the plan has no exchange at all (pinned via
+    rebalance=False, the shape the size gate picks for wide inputs);
+    on the single-row-group testdata a round-robin rebalance of the
+    small scan is allowed so the kernels run at full width."""
     from pdf_extractor_spark.datagen import pdfs_from_documents
     from pdf_extractor_spark.ops.pdfstream import parse_pdf_pages
 
@@ -259,7 +263,11 @@ def test_pdf_parse_shuffle_free_plan(spark, sf_dir):
     df = parse_pdf_pages(pdfs_from_documents(docs))
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("MapInPandas") == 2
-    assert "Exchange" not in plan
+    assert "Exchange hashpartitioning" not in plan
+    wide = parse_pdf_pages(pdfs_from_documents(docs, rebalance=False))
+    plan_wide = wide._jdf.queryExecution().executedPlan().toString()
+    assert plan_wide.count("MapInPandas") == 2
+    assert "Exchange" not in plan_wide
 
 
 def test_pdf_parse_pages_dataframe(spark, sf_dir):
@@ -422,8 +430,11 @@ def test_bfrange_array_form():
 
 def test_pdf_front_door_shuffle_free(spark, sf_dir):
     """The document-level front door (parse_pdf_docs) must keep the
-    whole tier scan → mapInPandas with zero exchanges — reassembly is
-    kernel-local because whole PDFs arrive one per row."""
+    whole tier scan → mapInPandas with zero KEYED exchanges —
+    reassembly is kernel-local because whole PDFs arrive one per row.
+    Zero exchanges of any kind with rebalance=False (the wide-input
+    shape); the testdata scan itself may carry one round-robin
+    rebalance (ops.layout)."""
     from pdf_extractor_spark.datagen import pdfs_from_documents
     from pdf_extractor_spark.ops.curate import extract_pdf_text
 
@@ -431,7 +442,12 @@ def test_pdf_front_door_shuffle_free(spark, sf_dir):
     df = extract_pdf_text(pdfs_from_documents(docs), with_metrics=True)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("MapInPandas") == 2   # render + parse kernels
-    assert "Exchange" not in plan
+    assert "Exchange hashpartitioning" not in plan
+    wide = extract_pdf_text(pdfs_from_documents(docs, rebalance=False),
+                            with_metrics=True)
+    plan_wide = wide._jdf.queryExecution().executedPlan().toString()
+    assert plan_wide.count("MapInPandas") == 2
+    assert "Exchange" not in plan_wide
 
 
 def test_hybrid_xrefstm_takes_precedence_over_stale_classic():
