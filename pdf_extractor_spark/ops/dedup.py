@@ -291,7 +291,14 @@ def _bucket_pairs(keyed: DataFrame, key_cols: list[str],
     evaluations of the keyed table, two extra exchanges and two sorts)
     with plain per-bucket array work (guide §2.4: remove shuffles
     outright). Identical output: every unordered pair within a
-    surviving bucket, a < b, distinct across buckets."""
+    surviving bucket, a < b, distinct across buckets.
+
+    Caveat: the cap filters AFTER collect_list, so an uncapped bucket
+    is materialized as one array row. Right whenever bucket sizes are
+    input-bounded (sandbox corpora, k-gram inverted index with small
+    caps); the extreme-scale LSH path (`scale_shape=True`) keeps the
+    count-then-semi-join capping instead, where a boilerplate
+    megabucket never becomes a single row."""
     buckets = (keyed.groupBy(*key_cols)
                .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
                .filter(F.size("ids") <= max_bucket)
@@ -347,11 +354,14 @@ def minhash_lsh_pairs_with_bands(
         return jac.filter(F.col("jaccard") >= threshold), banded
     # the 10^12-doc shape: the only corpus-wide exchange carries the 64
     # partial mins per doc (never per-shingle rows); verify re-explodes
-    # candidate docs only (candidates ≪ corpus in this regime)
+    # candidate docs only (candidates ≪ corpus in this regime). Bucket
+    # capping stays count-then-semi-join here: _bucket_pairs would
+    # materialize each UNCAPPED bucket as one collect_list array, and a
+    # boilerplate megabucket at this scale is a multi-GB row.
     sig = _signatures_from_hashed(sh, n_perm, seed)
     banded = (sig.select("doc_id", F.explode(F.array(*band_cols)).alias("b"))
               .select("doc_id", "b.band_idx", "b.band_hash"))
-    cand = _bucket_pairs(banded, ["band_idx", "band_hash"], max_bucket)
+    cand = band_candidates(cap_megabuckets(banded, max_bucket))
     cand_ids = (cand.select(F.col("a").alias("doc_id"))
                 .unionByName(cand.select(F.col("b").alias("doc_id")))
                 .distinct())

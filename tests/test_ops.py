@@ -573,3 +573,23 @@ def test_front_door_metrics(spark, sf_dir):
         assert r.n_pages == -(-n_lines // 4)     # 4 lines/page
         assert r.decode_failures == 0
         assert r.partition_id >= 0
+
+
+def test_rebalance_narrow_size_gate(spark, sf_dir):
+    """ops.layout.rebalance_narrow: fires on a provably-small scan
+    (single-row-group testdata cannot feed every core), is idempotent
+    on an already-repartitioned input, and is the identity for inputs
+    the optimizer estimates above the cores x 32 MB gate (the 100 TB
+    regime keeps its shuffle-free plans)."""
+    from pdf_extractor_spark.ops.layout import rebalance_narrow
+
+    cores = spark.sparkContext.defaultParallelism
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rb = rebalance_narrow(docs)
+    assert rb.rdd.getNumPartitions() == cores
+    assert rb.count() == docs.count()
+    # no double exchange when a caller already rebalanced
+    assert rebalance_narrow(rb) is rb
+    # large estimated input -> identity (range stats: 8 bytes/row)
+    big = spark.range(0, 1 << 30)
+    assert rebalance_narrow(big) is big
