@@ -75,6 +75,11 @@ def extract_features(media: DataFrame, dim: int = 16,
     for video); everything else — batching, schema, null handling —
     is production-shaped.
     """
+    from .layout import rebalance_narrow
+
+    # the decode kernel is the expensive stage — run it at full width
+    # even when the media table is a narrow scan (identity at scale)
+    media = rebalance_narrow(media)
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -44,11 +44,16 @@ def cosine_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
     small by contract), all dot products in codegen, then a per-query
     window top-k. Ties broken by neighbour id for determinism.
     """
+    from .layout import rebalance_narrow
+
     q = F.broadcast(queries.select(F.col(q_id_col).alias("query_id"),
                                    F.col(q_vec_col).alias("q_vec")))
+    # the corpus side carries every dot product — rebalance a narrow
+    # scan so the scoring runs at full width (identity at real sizes)
     scored = (
-        embeddings.select(F.col(id_col).alias("neighbor_id"),
-                          F.col(vec_col).alias("vec"))
+        rebalance_narrow(embeddings)
+        .select(F.col(id_col).alias("neighbor_id"),
+                F.col(vec_col).alias("vec"))
         .crossJoin(q)
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn("cos", cosine(F.col("vec"), F.col("q_vec")))
@@ -126,8 +131,10 @@ def lsh_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
             "dim is required: pass the embedding length explicitly "
             "(schema carries no array length; a data probe would run a "
             "job before the real action)")
-    corpus = embeddings.select(F.col(id_col).alias("neighbor_id"),
-                               F.col(vec_col).alias("vec"))
+    from .layout import rebalance_narrow
+
+    corpus = rebalance_narrow(embeddings).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("vec"))
     q = queries.select(F.col(q_id_col).alias("query_id"),
                        F.col(q_vec_col).alias("q_vec"))
     sig_cols_c, sig_cols_q = [], []
@@ -225,7 +232,9 @@ def ivf_topk(embeddings: DataFrame, queries: DataFrame,
     The scale shape: candidate count ≈ corpus × nprobe / n_cells, and
     the cell join is an equi-join on a small int key — broadcastable
     queries make it shuffle-free."""
-    corpus = embeddings.select(
+    from .layout import rebalance_narrow
+
+    corpus = rebalance_narrow(embeddings).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("vec")
     ).withColumn(
         "cell", F.element_at(_cell_ranking(F.col("vec"), centroids), 1))
@@ -262,8 +271,10 @@ def embedding_near_duplicates(embeddings: DataFrame, threshold: float = 0.95,
             "dim is required: pass the embedding length explicitly "
             "(schema carries no array length; a data probe would run a "
             "job before the real action)")
+    from .layout import rebalance_narrow
+
     planes = _hyperplanes(dim, n_planes, seed)
-    sig = embeddings.select(
+    sig = rebalance_narrow(embeddings).select(
         F.col(id_col).alias("doc_id"), F.col(vec_col).alias("vec")
     ).withColumn("bucket", hyperplane_signature(F.col("vec"), planes))
     l, r = sig.alias("l"), sig.alias("r")

@@ -1255,7 +1255,13 @@ def curate_corpus_pipeline(spark, sf_dir):
     pages = T(spark, sf_dir, "documents").select(
         "doc_id", _wrap_html_col(F.col("doc_id"), F.col("text"))
         .alias("html_text"))
-    web_text = extract_main_text(pages)
+    # one exchange above the Python flatten: both consumers (gate
+    # features and the near-dup shingle pass) read the SAME
+    # materialized stage via AQE reuse instead of re-running the
+    # mapInPandas flatten per branch
+    from .ops.layout import rebalance_narrow
+
+    web_text = rebalance_narrow(extract_main_text(pages))
     web_pairs = minhash_lsh_pairs(web_text, threshold=0.8)
     web = curate_corpus(web_text, near_dup_pairs=web_pairs)
 
