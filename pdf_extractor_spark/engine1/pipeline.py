@@ -197,15 +197,17 @@ def extract_folha(pages_df: DataFrame) -> tuple[DataFrame, DataFrame]:
       attention = (url, folha_type, year, month, kind, description,
                    codes array<string>, excel_col)
     """
-    # Early url-hash repartition ONLY when the scan yields fewer splits
-    # than cores (tiny local corpora): the heavy explode+classify+join
-    # stage must run at full parallelism. At production split sizing the
-    # scan already has >> cores partitions and payloads never shuffle
-    # before the line-level exchange below.
-    n_part0 = pages_df.sparkSession.sparkContext.defaultParallelism
-    pages_df = pages_df.select("url", "text")
-    if pages_df.rdd.getNumPartitions() < n_part0:
-        pages_df = pages_df.repartition(n_part0, "url")
+    # Early rebalance ONLY when the input is provably small (size-gated
+    # — see ops.layout): the heavy explode+classify+join stage must run
+    # at full parallelism even off a narrow scan. At production split
+    # sizing the gate never fires and payloads never shuffle before the
+    # line-level exchange below. (The previous guard compared
+    # `.rdd.getNumPartitions()` to the core count, which costs ~1 s of
+    # driver-side plan→RDD compilation per fresh call and is blind to
+    # single-row-group files that plan many empty splits.)
+    from ..ops.layout import rebalance_narrow
+
+    pages_df = rebalance_narrow(pages_df.select("url", "text"))
     classified = classify_pages(explode_pages(pages_df))
     # Explicit (url, page)-hash repartition (north-rule partitioning):
     # one exchange that (a) materializes the parsed indice/valor structs

@@ -83,21 +83,26 @@ class _Name(str):
     """PDF name object — distinct from decoded strings."""
 
 
+# one compiled-regex hop instead of a per-byte Python loop (the two
+# hottest structural-lexer frames in the parse profile); the classes
+# spell out the PDF whitespace/delimiter sets exactly (_WS/_DELIM)
+_WS_RE = re.compile(rb"(?:[\x00\t\n\x0c\r ]+|%[^\n]*\n?)+")
+_NAME_RUN_RE = re.compile(rb"[^\x00\t\n\x0c\r ()<>\[\]{}/%]*")
+
+
 def _skip_ws(buf: bytes, i: int) -> int:
-    n = len(buf)
-    while i < n:
-        c = buf[i:i + 1]
-        if c in (b"%",):                       # comment to EOL
-            j = buf.find(b"\n", i)
-            i = n if j < 0 else j + 1
-        elif c in _WS:
-            i += 1
-        else:
-            break
-    return i
+    m = _WS_RE.match(buf, i)
+    return m.end() if m else i
 
 
 def _parse_name(buf: bytes, i: int) -> tuple[_Name, int]:
+    m = _NAME_RUN_RE.match(buf, i + 1)
+    run = m.group()
+    if b"#" not in run:                        # fast path: no escapes
+        return _Name(run.decode("latin-1")), m.end()
+    # escape-bearing names re-scan with the exact historical loop (a
+    # decoded #XX may itself be a delimiter byte and the run continues
+    # past it, which the regex cannot know)
     j = i + 1
     n = len(buf)
     out = bytearray()
@@ -181,26 +186,26 @@ def _parse_value(buf: bytes, i: int):
     n = len(buf)
     if i >= n:
         raise ValueError("eof")
-    c = buf[i:i + 1]
-    if buf.startswith(b"<<", i):
-        d: dict = {}
-        i += 2
-        while True:
-            i = _skip_ws(buf, i)
-            if buf.startswith(b">>", i):
-                return d, i + 2
-            if i >= n:
-                return d, i
-            key, i = _parse_name(buf, i)
-            val, i = _parse_value(buf, i)
-            d[str(key)] = val
-    if c == b"<":
+    c0 = buf[i]                 # int dispatch: no bytes-slice per value
+    if c0 == 0x3C:              # '<'
+        if buf.startswith(b"<<", i):
+            d: dict = {}
+            i += 2
+            while True:
+                i = _skip_ws(buf, i)
+                if buf.startswith(b">>", i):
+                    return d, i + 2
+                if i >= n:
+                    return d, i
+                key, i = _parse_name(buf, i)
+                val, i = _parse_value(buf, i)
+                d[str(key)] = val
         return _parse_hex_string(buf, i)
-    if c == b"(":
+    if c0 == 0x28:              # '('
         return _parse_literal_string(buf, i)
-    if c == b"/":
+    if c0 == 0x2F:              # '/'
         return _parse_name(buf, i)
-    if c == b"[":
+    if c0 == 0x5B:              # '['
         arr = []
         i += 1
         while True:
@@ -1320,12 +1325,28 @@ def _extract_page(content: bytes, fonts: dict[str, _Font],
         key = (id(font), size, tz, tc, tw)
         hit = _tables.get(key)
         if hit is None:
-            gend, adv = [], []
-            for code in range(256):
-                gw = (font.width_of(code) * size) / 1000.0
-                gend.append(gw * scale)
-                adv.append((gw + tc + (tw if code == 32 else 0.0))
-                           * scale)
+            # listcomp form of the historical per-code loop — same
+            # expression order per element, so every double is
+            # bit-identical (pinned by the layout goldens)
+            if size == 0.0:
+                # pre-Tf state (size 0): every glyph width is 0
+                gend = [0.0] * 256
+                adv = [(0.0 + tc + 0.0) * scale] * 256
+                adv[32] = (0.0 + tc + tw) * scale
+            else:
+                w = font.widths
+                if w is None:
+                    gw = (font.default_width * size) / 1000.0
+                    gws = [gw] * 256
+                elif isinstance(w, dict):
+                    dw = font.default_width
+                    gws = [(w.get(c, dw) * size) / 1000.0
+                           for c in range(256)]
+                else:
+                    gws = [(wi * size) / 1000.0 for wi in w]
+                gend = [g * scale for g in gws]
+                adv = [(g + tc + 0.0) * scale for g in gws]
+                adv[32] = (gws[32] + tc + tw) * scale
             hit = _tables[key] = (gend, adv)
         gend_cache, adv_cache = hit
 
