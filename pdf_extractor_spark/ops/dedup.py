@@ -20,6 +20,8 @@ Scale notes:
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -135,17 +137,38 @@ def _perm_params(n_perm: int, seed: int = 42) -> list[tuple[int, int]]:
             for _ in range(n_perm)]
 
 
+@lru_cache(maxsize=8)
+def _signature_agg_exprs(n_perm: int, seed: int) -> tuple:
+    """The n_perm min-aggregate Columns, built once per process:
+    Column construction is driver-side py4j chatter (~0.5 s for 64
+    aggs) that otherwise recurs on every pipeline call. Columns are
+    immutable expression trees — safe to reuse across queries."""
+    h = F.pmod(F.col("h64"), F.lit(MERSENNE))
+    return tuple(
+        F.min((h * F.lit(a) + F.lit(b)) % F.lit(MERSENNE)).alias(f"mh_{i}")
+        for i, (a, b) in enumerate(_perm_params(n_perm, seed))
+    )
+
+
+@lru_cache(maxsize=8)
+def _band_struct_exprs(n_perm: int, bands: int) -> tuple:
+    """The per-band xxhash64(mh_…) struct Columns (see
+    `_signature_agg_exprs` for why these are cached)."""
+    rows = n_perm // bands
+    return tuple(
+        F.struct(F.lit(bi).alias("band_idx"),
+                 F.xxhash64(*[f"mh_{bi * rows + r}" for r in range(rows)])
+                 .alias("band_hash"))
+        for bi in range(bands)
+    )
+
+
 def _signatures_from_hashed(sh: DataFrame, n_perm: int,
                             seed: int) -> DataFrame:
     """(doc_id, h64) rows → n_perm-column signature (one map-side-
     combinable groupBy; min is duplicate-insensitive so the input may
     be distinct or raw)."""
-    h = F.pmod(F.col("h64"), F.lit(MERSENNE))
-    aggs = [
-        F.min((h * F.lit(a) + F.lit(b)) % F.lit(MERSENNE)).alias(f"mh_{i}")
-        for i, (a, b) in enumerate(_perm_params(n_perm, seed))
-    ]
-    return sh.groupBy("doc_id").agg(*aggs)
+    return sh.groupBy("doc_id").agg(*_signature_agg_exprs(n_perm, seed))
 
 
 def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
@@ -199,15 +222,9 @@ def minhash_band_hashes(docs: DataFrame, id_col: str = "doc_id",
     between runs: an increment computes band hashes for NEW docs only
     and joins them against the stored index, so near-dup work scales
     with the increment, not the corpus."""
-    rows = n_perm // bands
     sig = minhash_signatures(docs, id_col, text_col, k, n_perm, seed,
                              dedup_shingles=dedup_shingles)
-    band_cols = [
-        F.struct(F.lit(bi).alias("band_idx"),
-                 F.xxhash64(*[f"mh_{bi * rows + r}" for r in range(rows)])
-                 .alias("band_hash"))
-        for bi in range(bands)
-    ]
+    band_cols = _band_struct_exprs(n_perm, bands)
     return (sig.select("doc_id", F.explode(F.array(*band_cols)).alias("b"))
             .select("doc_id", "b.band_idx", "b.band_hash"))
 
@@ -330,13 +347,7 @@ def minhash_lsh_pairs_with_bands(
     increment joins new docs against them instead of re-banding the
     corpus."""
     sh = hashed_shingle_rows(docs, id_col, text_col, k)
-    rows = n_perm // bands
-    band_cols = [
-        F.struct(F.lit(bi).alias("band_idx"),
-                 F.xxhash64(*[f"mh_{bi * rows + r}" for r in range(rows)])
-                 .alias("band_hash"))
-        for bi in range(bands)
-    ]
+    band_cols = _band_struct_exprs(n_perm, bands)
     if not scale_shape:
         # ONE groupBy(doc_id) computes the 64 signature mins AND the
         # verify hash set — a single exchange feeds signature, banding
@@ -344,13 +355,9 @@ def minhash_lsh_pairs_with_bands(
         # downstream groupBys; measured 5.5 → 4.8 s at sf1.0). min is
         # duplicate-insensitive and |set| comes from collect_set, so
         # skipping the pre-distinct changes nothing.
-        h = F.pmod(F.col("h64"), F.lit(MERSENNE))
-        aggs = [
-            F.min((h * F.lit(a) + F.lit(b)) % F.lit(MERSENNE)).alias(f"mh_{i}")
-            for i, (a, b) in enumerate(_perm_params(n_perm, seed))
-        ]
         doc_tbl = sh.groupBy("doc_id").agg(
-            F.collect_set("h64").alias("hs"), *aggs)
+            F.collect_set("h64").alias("hs"),
+            *_signature_agg_exprs(n_perm, seed))
         sig = doc_tbl.drop("hs")
         sets = doc_tbl.select("doc_id", "hs", F.size("hs").alias("n"))
         banded = (sig.select("doc_id",
