@@ -294,7 +294,7 @@ class _Font:
     shape, processors/ficha_financeira_processor.py:424)."""
 
     __slots__ = ("cid", "table", "cmap", "widths", "default_width",
-                 "ascent", "descent")
+                 "ascent", "descent", "nonneg")
 
     def __init__(self) -> None:
         self.cid = False
@@ -304,6 +304,10 @@ class _Font:
         self.default_width = 500.0
         self.ascent = 800.0
         self.descent = -200.0
+        # all glyph widths >= 0 (computed once in _font_info): negative
+        # /Widths give negative advances, which break the ascending /
+        # no-overlap invariant the mono fast path assumes
+        self.nonneg = True
 
     def width_of(self, code: int) -> float:
         w = self.widths
@@ -315,6 +319,26 @@ class _Font:
 
 
 _DEFAULT_FONT = _Font()
+
+
+def _cf_cipher(cf, name: str) -> str:
+    """Cipher for one crypt-filter name (§7.6.5): Identity — the
+    default when the key is absent, and the effective result when the
+    named filter has no /CF entry — means pass-through; /CFM picks
+    RC4 (/V2) or AES (/AESV2, /AESV3); /CFM /None is pass-through."""
+    if name == "Identity":
+        return "none"
+    cfd = cf.get(name) if isinstance(cf, dict) else None
+    if isinstance(cfd, tuple):
+        cfd = cfd[0]
+    if not isinstance(cfd, dict):
+        return "none"
+    cfm = str(cfd.get("CFM", ""))
+    if cfm in ("AESV2", "AESV3"):
+        return "aes"
+    if cfm == "None":
+        return "none"
+    return "rc4"
 
 
 def _parse_cid_widths(w: list) -> dict[int, float]:
@@ -533,8 +557,12 @@ class _Doc:
         self.compressed: dict[int, tuple[int, int]] = {}
         self._objstm_cache: dict[int, dict[int, object]] = {}
         self._font_cache: dict[int, _Font] = {}
+        self._font_keepalive: list[_Font] = []
         self._enc_key: bytes | None = None
-        self._enc_cipher: str = "rc4"
+        # stream / string ciphers resolve independently (§7.6.5 /StmF
+        # vs /StrF); "none" = Identity pass-through
+        self._enc_stream_cipher: str = "rc4"
+        self._enc_string_cipher: str = "rc4"
         self._enc_obj_num: int | None = None
         self.offsets, self.trailer = self._load_xref()
         self._setup_encryption()
@@ -570,7 +598,7 @@ class _Doc:
             return
         r = int(enc.get("R", 2))
         v = int(enc.get("V", 1))
-        self._enc_cipher = "rc4"
+        self._enc_stream_cipher = self._enc_string_cipher = "rc4"
         if v == 5:
             # AES-256: /U = hash(32) + validation salt(8) + key salt(8)
             u, ue = enc.get("U"), enc.get("UE")
@@ -582,21 +610,28 @@ class _Doc:
                   else hashlib.sha256(ksalt).digest())
             self._enc_key = _aes.cbc_decrypt(ik, b"\x00" * 16, ue[:32],
                                              unpad=False)
-            self._enc_cipher = "aes"
+            cf = enc.get("CF")
+            self._enc_stream_cipher = _cf_cipher(
+                cf, str(enc.get("StmF", "Identity")))
+            self._enc_string_cipher = _cf_cipher(
+                cf, str(enc.get("StrF", "Identity")))
         else:
             nbits = enc.get("Length", 40)
             if v == 4:
-                # crypt filters (§7.6.5): the default stream filter's
-                # /CFM picks the cipher (strings share /StrF = /StdCF
-                # in practice; Identity = no crypt handled by cfm "")
+                # crypt filters (§7.6.5): /StmF and /StrF resolve
+                # independently through /CF; Identity (the default when
+                # absent, or when the named filter has no /CF entry)
+                # means NO decryption for that class — applying the RC4
+                # key anyway scrambled unencrypted data (ADVICE r5)
                 cf = enc.get("CF")
                 stmf = str(enc.get("StmF", "Identity"))
+                self._enc_stream_cipher = _cf_cipher(cf, stmf)
+                self._enc_string_cipher = _cf_cipher(
+                    cf, str(enc.get("StrF", "Identity")))
                 cfd = cf.get(stmf) if isinstance(cf, dict) else None
                 if isinstance(cfd, tuple):
                     cfd = cfd[0]
                 if isinstance(cfd, dict):
-                    if str(cfd.get("CFM", "")) == "AESV2":
-                        self._enc_cipher = "aes"
                     ln = cfd.get("Length")
                     if isinstance(ln, (int, float)):
                         # /CF Length is bytes per spec; many writers
@@ -622,7 +657,7 @@ class _Doc:
         self.cache.clear()              # drop any pre-key parses
         self._objstm_cache.clear()
 
-    def _obj_key(self, num: int, gen: int) -> bytes:
+    def _obj_key(self, num: int, gen: int, cipher: str) -> bytes:
         """Per-object key. RC4/AESV2 (Algorithm 1): MD5(file key +
         objnum LE3 + generation LE2 [+ b'sAlT' for AES]), truncated to
         keylen+5 ≤ 16. V5/AES-256 uses the file key directly."""
@@ -630,15 +665,18 @@ class _Doc:
 
         if len(self._enc_key) == 32:            # V5: no per-object step
             return self._enc_key
-        extra = b"sAlT" if self._enc_cipher == "aes" else b""
+        extra = b"sAlT" if cipher == "aes" else b""
         k = hashlib.md5(self._enc_key + num.to_bytes(3, "little")
                         + (gen & 0xFFFF).to_bytes(2, "little")
                         + extra).digest()
         return k[:min(len(self._enc_key) + 5, 16)]
 
     def _decrypt(self, num: int, raw: bytes, gen: int = 0) -> bytes:
-        key = self._obj_key(num, gen)
-        if self._enc_cipher == "aes":
+        cipher = self._enc_stream_cipher
+        if cipher == "none":
+            return raw
+        key = self._obj_key(num, gen, cipher)
+        if cipher == "aes":
             return _aes.pdf_aes_decrypt(key, raw)
         return _rc4(key, raw)
 
@@ -649,7 +687,7 @@ class _Doc:
         the call site; AES payloads are IV-prefixed CBC)."""
         if isinstance(v, bytes):
             return (_aes.pdf_aes_decrypt(key, v)
-                    if self._enc_cipher == "aes" else _rc4(key, v))
+                    if self._enc_string_cipher == "aes" else _rc4(key, v))
         if isinstance(v, dict):
             return {k: self._decrypt_strings(x, key) for k, x in v.items()}
         if isinstance(v, list):
@@ -877,8 +915,9 @@ class _Doc:
             self._enc_key is not None and num != self._enc_obj_num
             and not (isinstance(val, dict)
                      and str(val.get("Type", "")) == "XRef"))
-        if decrypt_obj:
-            val = self._decrypt_strings(val, self._obj_key(num, gen))
+        if decrypt_obj and self._enc_string_cipher != "none":
+            val = self._decrypt_strings(
+                val, self._obj_key(num, gen, self._enc_string_cipher))
         i = _skip_ws(buf, i)
         if buf.startswith(b"stream", i):
             i += 6
@@ -1074,6 +1113,12 @@ class _Doc:
             f = self._font_info(font)
             if key is not None:
                 self._font_cache[key] = f
+            else:
+                # direct (non-_Ref) font dicts never enter _font_cache;
+                # keep the _Font alive for the document so the
+                # id(font)-keyed advance-table memo can never see a
+                # recycled id serving stale widths
+                self._font_keepalive.append(f)
             out[str(name)] = f
         return out
 
@@ -1138,6 +1183,14 @@ class _Doc:
                             and 0 <= first + k < 256:
                         table_w[first + k] = float(w)
                 f.widths = table_w
+        wv = f.widths
+        if isinstance(wv, dict):
+            f.nonneg = f.default_width >= 0 and all(
+                x >= 0 for x in wv.values())
+        elif isinstance(wv, list):
+            f.nonneg = f.default_width >= 0 and min(wv) >= 0
+        else:
+            f.nonneg = f.default_width >= 0
         return f
 
     def _to_unicode_cmap(self, ref) -> dict[int, str] | None:
@@ -1391,7 +1444,7 @@ def _extract_page(content: bytes, fonts: dict[str, _Font],
                          (font.ascent * size) / 1000.0,
                          (font.descent * size) / 1000.0,
                          scale > 0.0 and 0.0 <= tc * scale <= _X_TOL
-                         and tw >= 0.0))
+                         and tw >= 0.0 and font.nonneg))
 
     for kind, val in _tokenize_content(content):
         if kind != "op":

@@ -313,3 +313,95 @@ def test_aes_corruption_degrades_cleanly():
         # plaintext by accident
         if pdf is not corruptions[2]:
             assert "clean" not in joined
+
+
+def test_v4_identity_stmf_streams_pass_through():
+    """§7.6.5: /StmF defaults to Identity — streams are NOT encrypted
+    even though /Encrypt is present, while /StrF /StdCF strings still
+    decrypt with RC4. The r5 code applied the RC4 key to such plain
+    streams, scrambling them into garbage (ADVICE item 1/4)."""
+    import hashlib
+
+    from pdf_extractor_spark.ops.pdfstream import (_PDF_PAD, _Doc, _rc4,
+                                                   parse_pdf_doc)
+    from tests.test_pdfstream import _encrypted_pdf
+
+    did = hashlib.md5(b"identity-stmf").digest()
+    owner_o = _rc4(hashlib.md5(_PDF_PAD).digest()[:16], _PDF_PAD)
+    p = (-4) & 0xFFFFFFFF
+    key = hashlib.md5(_PDF_PAD + owner_o + p.to_bytes(4, "little")
+                      + did).digest()
+    for _ in range(50):          # R4 re-hash rounds at n=16
+        key = hashlib.md5(key[:16]).digest()
+    key = key[:16]
+
+    body = b"BT /F1 11 Tf 72 720 Td (plain stream) Tj ET"
+
+    def str_key(num: int) -> bytes:
+        k = hashlib.md5(key + num.to_bytes(3, "little")
+                        + b"\x00\x00").digest()
+        return k[:16]
+
+    enc_title = _rc4(str_key(6), b"secret title")
+    enc_dict = (b"<< /Filter /Standard /V 4 /R 4 /Length 128"
+                b" /CF << /StdCF << /CFM /V2 >> >>"
+                b" /StrF /StdCF"        # no /StmF -> Identity
+                b" /O <" + owner_o.hex().encode()
+                + b"> /U <" + (b"\x00" * 32).hex().encode()
+                + b"> /P -4 >>")
+    pdf = _encrypted_pdf(enc_dict, did, body, enc_title)
+
+    pages = parse_pdf_doc(pdf)
+    assert [pg["text"] for pg in pages] == ["plain stream"]
+
+    d = _Doc(pdf)
+    assert d._enc_stream_cipher == "none"
+    assert d._enc_string_cipher == "rc4"
+    info = d.resolve(d.obj(6))
+    assert info["Title"] == b"secret title"
+
+
+def test_negative_widths_disable_mono_fast_path():
+    """A crafted negative /Widths entry gives negative advances, which
+    violate the ascending/no-overlap invariant the text-mode fast path
+    assumes; the per-font nonneg bit must route such shows through the
+    glyph-sorted slow path (ADVICE item 3), and positive-widths fonts
+    must keep the fast path."""
+    from pdf_extractor_spark.ops.pdfstream import _Doc
+    from tests.test_pdf_layout import _one_page_pdf
+
+    body = b"BT /F1 10 Tf 72 700 Td (ab) Tj ET"
+    neg = _one_page_pdf(
+        body, font_extra=b" /FirstChar 97 /Widths [500 -500]")
+    d = _Doc(neg)
+    fonts = d.page_fonts(d.pages()[0])
+    assert fonts and not fonts["F1"].nonneg
+    pos = _one_page_pdf(
+        body, font_extra=b" /FirstChar 97 /Widths [500 500]")
+    d2 = _Doc(pos)
+    fonts2 = d2.page_fonts(d2.pages()[0])
+    assert fonts2 and fonts2["F1"].nonneg
+
+
+def test_direct_font_dicts_kept_alive():
+    """Fonts referenced by direct (non-_Ref) dicts never enter
+    _font_cache; the document must keep them alive so the id(font)-
+    keyed advance-table memo can never serve a recycled id's stale
+    widths (ADVICE item 2)."""
+    from pdf_extractor_spark.ops.pdfstream import _Doc
+    from tests.test_pdfstream import _minimal_pdf
+
+    objs = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Count 1 /Kids [3 0 R] >>",
+        3: (b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R"
+            b" /Resources << /Font << /F1 << /Type /Font"
+            b" /Subtype /Type1 /BaseFont /Helvetica >> >> >> >>"),
+        4: (b"<< /Length 36 >>\nstream\n"
+            b"BT /F1 11 Tf 72 720 Td (x) Tj ET\n\nendstream"),
+    }
+    pdf = _minimal_pdf(objs)
+    d = _Doc(pdf)
+    f = d.page_fonts(d.pages()[0])
+    assert "F1" in f
+    assert f["F1"] in d._font_keepalive

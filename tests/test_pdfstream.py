@@ -660,7 +660,7 @@ def test_encrypted_pdf_aesv2():
     assert [p["text"] for p in parsed] == ["aes secret words"]
     assert parsed[0]["decode_failures"] == 0
     d = _Doc(pdf)
-    assert d._enc_cipher == "aes" and len(d._enc_key) == 16
+    assert d._enc_stream_cipher == "aes" and len(d._enc_key) == 16
     assert d.resolve(d.obj(6))["Title"] == b"aes title"
 
 
@@ -702,7 +702,7 @@ def test_encrypted_pdf_aes256_r6():
     assert [p["text"] for p in parsed] == ["aes256 secret"]
     assert parsed[0]["decode_failures"] == 0
     d = _Doc(pdf)
-    assert d._enc_cipher == "aes" and d._enc_key == file_key
+    assert d._enc_stream_cipher == "aes" and d._enc_key == file_key
     assert d.resolve(d.obj(6))["Title"] == b"r6 title"
 
 
