@@ -40,6 +40,38 @@ PT_WORDS = "de|da|do|que|em|para|com|uma|os|as|dos|das|no|na|por|se"
 EN_WORDS = "the|of|and|to|in|is|that|it|for|on|was|with|as|at|by|be|this"
 
 
+def _barrier_filter(df: DataFrame, pred) -> DataFrame:
+    """`df.filter(pred)` with predicate pushdown blocked.
+
+    The quality/lang predicate is built from expensive derived
+    expressions (4 regex passes + split per doc). Catalyst pushes
+    filters toward the source, splitting conjunctions and substituting
+    the full feature expressions — measured at the sf1.0 replica, the
+    predicate landed BELOW the `rebalance_narrow` round-robin exchange,
+    re-running every regex on the unsplittable one-row-group scan on a
+    single core (5.7 s vs 0.66 s for the same features evaluated wide),
+    and duplicating them against the Project above. Guide §4.4: the
+    optimizer may not reorder or duplicate past a non-deterministic
+    expression, so the predicate is wrapped as ONE un-splittable
+    CASE WHEN with a non-deterministic guard:
+    `WHEN spark_partition_id() >= -1 THEN pred ELSE false`. Partition
+    ids are non-negative, so this evaluates exactly `pred` — results
+    byte-identical — while the filter stays pinned where it is
+    written: above the exchange, in the same codegen stage as the
+    feature projection. Two shapes that do NOT work, measured:
+    `rand() >= -1 AND pred` (Spark 4 knows rand's value range,
+    simplifies the guard to true, and the rest pushes as before) and
+    `spark_partition_id() >= -1 AND pred` (Catalyst splits the
+    conjunction and pushes the deterministic conjuncts on their own).
+
+    At 100 TB (rebalance is identity) the gate already fused into the
+    scan stage; the only loss is the parquet IsNotNull(text) pushdown,
+    which skips nothing on real corpora."""
+    guarded = F.when(F.spark_partition_id() >= F.lit(-1),
+                     pred).otherwise(F.lit(False))
+    return df.filter(guarded)
+
+
 def _gate_features(docs: DataFrame, id_col: str, text_col: str,
                    with_repetition: bool) -> DataFrame:
     """The shared single-projection feature pass behind `curate_corpus`
@@ -169,7 +201,8 @@ def qualified_hashes(docs: DataFrame, id_col: str = "doc_id",
     rep = any(x is not None for x in
               (max_dup_word_frac, max_top_word_frac, max_dup_bigram_frac))
     feat = _gate_features(docs, id_col, text_col, with_repetition=rep)
-    return (feat.filter(
+    return (_barrier_filter(
+        feat,
         _quality_pred(min_tokens, max_digit_ratio, max_punct_ratio,
                       max_dup_word_frac, max_top_word_frac,
                       max_dup_bigram_frac)
@@ -207,7 +240,8 @@ def curate_corpus(docs: DataFrame, near_dup_pairs: DataFrame | None = None,
     rep = any(x is not None for x in
               (max_dup_word_frac, max_top_word_frac, max_dup_bigram_frac))
     feat = _gate_features(docs, id_col, text_col, with_repetition=rep)
-    gated = feat.filter(
+    gated = _barrier_filter(
+        feat,
         _quality_pred(min_tokens, max_digit_ratio, max_punct_ratio,
                       max_dup_word_frac, max_top_word_frac,
                       max_dup_bigram_frac)

@@ -1097,8 +1097,11 @@ def f10_filename_slugs(spark, sf_dir):
     pages = corpus_df(spark, _corpus_docs_for(sf_dir))
     names = person_name_e1(
         pages.filter(F.col("url").startswith("synth://folha")))
-    planted = spark.createDataFrame(
-        _F10_PLANTED, "url string, person_name string")
+    from .ops.layout import dim_df
+
+    # honest-stats literal rows (see ops.layout.dim_df) so the union's
+    # size estimate stays the corpus's, not Long.Max
+    planted = dim_df(spark, _F10_PLANTED, "url string, person_name string")
     return slug_table(names.unionByName(planted), "01012020_0000") \
         .select("url", "file_slug", "folder_slug", "filename_norm")
 
@@ -1229,8 +1232,14 @@ def _planted_curation_corpus(spark, sf_dir):
                  .withColumn("doc_id", F.col("doc_id") + 2000000)
                  .withColumn("text",
                              F.concat("text", F.lit(" perturbedcopy"))))
-    lowq = spark.createDataFrame(
-        [(3000000, "1 2 3"), (3000001, "1 2 3 4 5 6")],
+    from .ops.layout import dim_df
+
+    # dim_df, NOT createDataFrame: a LocalRelation branch reports
+    # sizeInBytes=Long.Max, which poisons the union's estimate and
+    # silently turned off rebalance_narrow AND the broadcast verify
+    # joins for this whole corpus (see ops.layout.dim_df)
+    lowq = dim_df(
+        spark, [(3000000, "1 2 3"), (3000001, "1 2 3 4 5 6")],
         "doc_id long, text string")
     from .ops.layout import rebalance_narrow
 
@@ -1310,9 +1319,14 @@ def sample_mixture(spark, sf_dir):
     changes are monotone — raising a rate only adds rows)."""
     from .ops.curate import deterministic_sample
 
+    from .ops.layout import dim_df
+
     d = T(spark, sf_dir, "documents")
-    rates = spark.createDataFrame(
-        [(f"src{i}", (i % 5) * 0.25) for i in range(20)],
+    # honest-stats literal dim (ops.layout.dim_df): createDataFrame's
+    # Long.Max estimate kept the optimizer from broadcasting this
+    # 20-row dimension into the sample join
+    rates = dim_df(
+        spark, [(f"src{i}", (i % 5) * 0.25) for i in range(20)],
         "source string, rate double")
     return deterministic_sample(d, rates, salt="v1").select(
         "doc_id", "source")
