@@ -42,8 +42,10 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+import numpy as np
+
 from ..oracle_ref import e2_person_name
-from ..payload import decode_layout, encode_layout
+from ..payload import _HDR, MAGIC, decode_layout, encode_layout
 from .kernel import MAX_BLOCK_CARRY, METRICS_CODE, PageRunState, run_pages
 
 CHUNK_SCHEMA = ("url string, salt int, n_chunks int, page_offset int, "
@@ -55,6 +57,49 @@ EVENT_SCHEMA = ("url string, salt int, kind string, code string, "
                 "gpage int, seq long, state string, ffh int")
 
 REPLACE_SCHEMA = ("url string, salt int, reproc_end int")
+
+
+def _chunk_blobs_v2(html: bytes, max_pages: int):
+    """Chunk a v2 WBX2 blob by pure buffer slicing — no Word-tuple
+    round trip. Output bytes are IDENTICAL to
+    `encode_layout(page_h, pages[k*mp:(k+1)*mp])` (pinned by
+    tests/test_salted.py::test_split_chunks_blob_bit_identical):
+    the chunk head is re-packed, and counts / cols / text-blob are
+    contiguous ranges of the source buffer. ~10x less per-page
+    split cost than decode+re-encode — the split is the serial leg
+    of the salted path, so its cost bounds how much skew salting
+    can recover (measured in BENCH/BASELINE.md)."""
+    buf = bytes(html)
+    page_h, n_pages, total = _HDR.unpack_from(buf, 4)
+    off = 4 + _HDR.size + 4
+    counts = np.frombuffer(buf, np.int32, n_pages, off)
+    off += 4 * n_pages
+    off += (-off) % 8
+    cols = np.frombuffer(buf, np.float64, 5 * total,
+                         off).reshape(5, total)
+    tblob = buf[off + 40 * total:]
+    # word-text boundaries inside the NUL-joined text blob
+    if total > 1:
+        nul = np.flatnonzero(
+            np.frombuffer(tblob, np.uint8) == 0)
+        starts = np.concatenate(([0], nul + 1))
+        ends = np.concatenate((nul, [len(tblob)]))
+    else:
+        starts = np.array([0]); ends = np.array([len(tblob)])
+    cum = np.concatenate(([0], np.cumsum(counts)))
+    out = []
+    for p0 in range(0, n_pages, max_pages):
+        p1 = min(p0 + max_pages, n_pages)
+        w0, w1 = int(cum[p0]), int(cum[p1])
+        head = (MAGIC + _HDR.pack(float(page_h), p1 - p0, w1 - w0)
+                + b"\x00" * 4)
+        body = counts[p0:p1].tobytes()
+        pad = (-(len(head) + len(body))) % 8
+        colb = np.ascontiguousarray(cols[:, w0:w1]).tobytes()
+        tb = (tblob[int(starts[w0]):int(ends[w1 - 1])]
+              if w1 > w0 else b"")
+        out.append((p1 - p0, head + body + b"\x00" * pad + colb + tb))
+    return float(page_h), n_pages, out
 
 
 def split_chunks(pages_df: DataFrame, max_pages: int = 16) -> DataFrame:
@@ -71,6 +116,23 @@ def split_chunks(pages_df: DataFrame, max_pages: int = 16) -> DataFrame:
             rows = []
             for url, html, text in zip(pdf["url"], pdf["html"], pdf["text"]):
                 failed = 0
+                person = e2_person_name(text or "")
+                if html and bytes(html[:4]) == MAGIC:
+                    try:
+                        page_h, n, blobs = _chunk_blobs_v2(html, max_pages)
+                    except Exception:
+                        page_h, n, blobs = 0.0, 0, []
+                        failed = 1
+                    if not blobs:
+                        blobs = [(0, encode_layout(page_h, []))]
+                    n_chunks = len(blobs)
+                    for k, (c_pages, blob) in enumerate(blobs):
+                        rows.append((url, k, n_chunks, k * max_pages,
+                                     c_pages, page_h, blob,
+                                     person if k == 0 else None,
+                                     failed if k == 0 else 0, n))
+                    continue
+                # v1 JSON / empty blobs: the historical tuple path
                 try:
                     page_h, pages = decode_layout(html)
                 except Exception:
@@ -78,7 +140,6 @@ def split_chunks(pages_df: DataFrame, max_pages: int = 16) -> DataFrame:
                     failed = 1
                 n = len(pages)
                 n_chunks = max(1, -(-n // max_pages))
-                person = e2_person_name(text or "")
                 for k in range(n_chunks):
                     chunk = pages[k * max_pages:(k + 1) * max_pages]
                     rows.append((url, k, n_chunks, k * max_pages, len(chunk),
@@ -253,7 +314,16 @@ def extract_ficha_salted(pages_df: DataFrame, max_pages: int = 16,
         F.substring_index(F.col("text"), "\f", 1).alias("text"))
     if with_layout_only:
         df = df.filter(F.length("html") > 0)
-    chunks = split_chunks(df, max_pages).persist()
+    # chunk rows inherit the INPUT row's partition: a single oversized
+    # document's chunks all land in one task and pass 1 runs them
+    # serially — the straggler salting exists to kill (measured: one
+    # 6000-page doc, pass 1 on unspread chunks 5.3 s vs 0.6 s spread).
+    # One deterministic keyed exchange moves each chunk's bytes once
+    # (guide §8: decide with small rows, move big rows once — here the
+    # decision IS the (url, salt) key) and buys full-width pass 1.
+    chunks = (split_chunks(df, max_pages)
+              .repartition(F.col("url"), F.col("salt"))
+              .persist())
     p1 = pass1_events(chunks).persist()
     states = p1.filter(F.col("kind") == "s")
     p2_events, ranges = pass2_stitch(chunks, states)

@@ -58,3 +58,28 @@ def test_salted_actually_splits(spark, corpus):
            .agg(F.sum("n_pages").alias("s"), F.max("total_pages").alias("t"))
            .filter(F.col("s") != F.col("t")).count())
     assert bad == 0
+
+
+def test_split_chunks_blob_bit_identical(spark, corpus):
+    """The buffer-slicing v2 chunker must emit bytes IDENTICAL to
+    encode_layout over the decoded page slices (the historical
+    implementation), for every chunk of every doc shape in the corpus
+    (incl. zero-word pages, empty docs, carry/conflict/long docs)."""
+    from pdf_extractor_spark.engine2.salted import split_chunks
+    from pdf_extractor_spark.payload import decode_layout, encode_layout
+
+    rows = corpus.select("url", "html", "text").collect()
+    chunks = {(r["url"], r["salt"]): r
+              for r in split_chunks(
+                  corpus.select("url", "html", "text"), 5).collect()}
+    n_checked = 0
+    for r in rows:
+        page_h, pages = decode_layout(r.html)
+        n_chunks = max(1, -(-len(pages) // 5))
+        for k in range(n_chunks):
+            expect = encode_layout(page_h, pages[k * 5:(k + 1) * 5])
+            got = chunks[(r.url, k)]
+            assert bytes(got.chunk_html) == expect, (r.url, k)
+            assert got.n_chunks == n_chunks and got.total_pages == len(pages)
+            n_checked += 1
+    assert n_checked > len(rows)  # multi-chunk docs exist in the corpus
